@@ -1,0 +1,21 @@
+"""Typed protocol errors, mirroring the reference's KZGError enum
+(reference src/lib.rs:26-36)."""
+
+
+class KZGError(Exception):
+    """Base class for KZG protocol errors."""
+
+
+class PolynomialDegreeTooLarge(KZGError):
+    """Polynomial degree exceeds the SRS size or the field's two-adic domain
+    bound (reference src/ft.rs:61-69 raises this when exp >= S = 32)."""
+
+
+class PointNotOnPolynomial(KZGError):
+    """(x, y) does not lie on the polynomial: the witness quotient division
+    left a nonzero remainder (reference src/coeff_form.rs:71-75)."""
+
+
+class BatchedPointsNotOnPolynomial(KZGError):
+    """At least one of a batch of points is not on the polynomial
+    (reference src/coeff_form.rs:95-97)."""
