@@ -1,0 +1,3 @@
+from .domain import Domain
+
+__all__ = ["Domain"]

@@ -1,0 +1,166 @@
+"""Radix-2 NTT over Fr and the evaluation-domain bookkeeping.
+
+TPU-native replacement for the reference's EvaluationDomain + serial/parallel
+FFT (reference src/ft.rs:17-25, 55-76, 111-178, 291-387). Design:
+
+  * decimation-in-frequency butterflies expressed as reshape/slice/concat on
+    a (16, n) limb array — no gathers inside the stage loop, everything
+    vectorised across n/2 lanes per stage;
+  * one precomputed forward/inverse twiddle table (omega^j, j < n/2); stage s
+    reads it with a static stride slice;
+  * bit-reversal is a single static gather at the boundary;
+  * the inverse transform is the forward transform with the inverse table
+    plus a final 1/n Montgomery scale (mirrors ft.rs:111-140 semantics);
+  * coset transforms distribute generator powers before/after
+    (ft.rs:142-178 semantics), with g = 7 (Fr's multiplicative generator).
+
+Omega derivation matches the reference: omega = ROOT_OF_UNITY^(2^(S - exp))
+with S = 32, and exp >= S is a PolynomialDegreeTooLarge error (ft.rs:55-76).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import R, FR_ROOT_OF_UNITY, FR_TWO_ADICITY, FR_GENERATOR
+from ..fields import FR
+from ..kzg.errors import PolynomialDegreeTooLarge
+
+
+def _bitrev_perm(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+def compute_omega(num_coeffs: int):
+    """(omega, d, exp) for the smallest power-of-two domain >= num_coeffs.
+
+    Mirrors reference ft.rs:55-76: omega = ROOT_OF_UNITY^(2^(S-exp)), error
+    when the domain exceeds Fr's two-adic subgroup."""
+    exp = max(1, (num_coeffs - 1).bit_length()) if num_coeffs > 1 else 0
+    if exp >= FR_TWO_ADICITY:
+        raise PolynomialDegreeTooLarge(
+            f"domain 2^{exp} exceeds Fr two-adicity 2^{FR_TWO_ADICITY}"
+        )
+    omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - exp), R)
+    return omega, 1 << exp, exp
+
+
+class Domain:
+    """A 2^exp evaluation domain over Fr with cached twiddles.
+
+    Holds Montgomery-form device arrays; all transforms are jitted once per
+    domain size. Input/output: (16, d) Montgomery Fr limb arrays.
+    """
+
+    _cache = {}
+
+    def __new__(cls, exp: int):
+        if exp in cls._cache:
+            return cls._cache[exp]
+        self = super().__new__(cls)
+        cls._cache[exp] = self
+        return self
+
+    def __init__(self, exp: int):
+        if getattr(self, "_ready", False):
+            return
+        if exp >= FR_TWO_ADICITY:
+            raise PolynomialDegreeTooLarge(
+                f"domain 2^{exp} exceeds Fr two-adicity 2^{FR_TWO_ADICITY}"
+            )
+        self.exp = exp
+        self.d = 1 << exp
+        self.omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - exp), R)
+        self.omega_inv = pow(self.omega, -1, R)
+        self.d_inv = pow(self.d, -1, R)
+        self.gen = FR_GENERATOR
+        self.gen_inv = pow(FR_GENERATOR, -1, R)
+        self.bitrev = jnp.asarray(_bitrev_perm(exp))
+        half = max(1, self.d // 2)
+        self.tw_fwd = self._powers(self.omega, half)
+        self.tw_inv = self._powers(self.omega_inv, half)
+        self.coset_pow = self._powers(self.gen, self.d)
+        self.coset_ipow = self._powers(self.gen_inv, self.d)
+        self._dinv_np = np.asarray(FR.encode([self.d_inv]))[:, 0].reshape(FR.L, 1)
+        self._ntt_fwd = jax.jit(partial(self._ntt, inverse=False))
+        self._ntt_inv = jax.jit(partial(self._ntt, inverse=True))
+        self._mul_coset = jax.jit(lambda x, p: FR.mul(x, p))
+        self._ready = True
+
+    @staticmethod
+    def _powers(base: int, count: int):
+        """(16, count) Montgomery array of base^0 .. base^(count-1)."""
+        b = jnp.asarray(FR.encode([base]))
+        bb = jnp.broadcast_to(b, (FR.L, count))
+        pows = FR.prefix_mul(bb)  # base^1 .. base^count
+        return jnp.concatenate([FR.one((1,)), pows[:, : count - 1]], axis=1)
+
+    # ---- core transform -----------------------------------------------------
+
+    def _ntt(self, x, inverse: bool):
+        """Pease constant-geometry DIF: every stage splits the array into
+        halves, butterflies, and interleaves — identical shapes each stage,
+        so the whole stage loop is ONE compiled fori_loop body. Stage s of a
+        2^s-way interleaved layout needs twiddle omega^(2^s * (j >> s)),
+        fetched from the power table with a masked-index gather."""
+        n = self.d
+        if n == 1:
+            return x
+        tw = self.tw_inv if inverse else self.tw_fwd
+        logn = self.exp
+        h = n // 2
+        jidx = jnp.arange(h, dtype=jnp.int32)
+
+        def body(s, x):
+            a = x[:, :h]
+            b = x[:, h:]
+            u = FR.add(a, b)
+            t = FR.sub(a, b)
+            low = jnp.left_shift(jnp.int32(1), s) - 1
+            w = jnp.take(tw, jidx & ~low, axis=1)
+            v = FR.mul(t, w)
+            return jnp.stack([u, v], axis=-1).reshape(FR.L, n)
+
+        x = jax.lax.fori_loop(0, logn, body, x)
+        x = x[:, self.bitrev]
+        if inverse:
+            x = FR.mul(x, jnp.asarray(self._dinv_np))
+        return x
+
+    # ---- public API (reference ft.rs:111-178 parity) --------------------------
+
+    def ntt(self, coeffs):
+        """Coefficients -> evaluations over the omega-domain."""
+        return self._ntt_fwd(coeffs)
+
+    def intt(self, evals):
+        """Evaluations -> coefficients (scaled by 1/d)."""
+        return self._ntt_inv(evals)
+
+    def coset_ntt(self, coeffs):
+        """Evaluate over the coset g*<omega> (ft.rs:158-166 semantics)."""
+        return self._ntt_fwd(self._mul_coset(coeffs, self.coset_pow))
+
+    def coset_intt(self, evals):
+        """Inverse of coset_ntt (ft.rs:168-178 semantics)."""
+        return self._mul_coset(self._ntt_inv(evals), self.coset_ipow)
+
+    # ---- vanishing polynomial helpers (ft.rs:182-217 parity) -------------------
+
+    def z_at(self, tau_int: int) -> int:
+        """Evaluate Z(tau) = tau^d - 1 (host-side scalar)."""
+        return (pow(tau_int, self.d, R) - 1) % R
+
+    def divide_by_z_on_coset(self, coset_evals):
+        """Divide coset evaluations by Z(g*omega^i) = g^d - 1 (constant on
+        the coset), matching ft.rs:194-217."""
+        zinv = pow(pow(self.gen, self.d, R) - 1, -1, R)
+        c = jnp.asarray(FR.encode([zinv]))
+        return FR.mul(coset_evals, c)
