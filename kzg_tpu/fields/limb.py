@@ -89,7 +89,7 @@ class LimbField:
         # jit the public entry points: each op expands to many limb HLOs, so
         # eager dispatch would dominate. One compile per batch shape.
         for meth in ("add", "sub", "neg", "mul", "sqr", "inv", "batch_inv",
-                     "to_mont", "from_mont"):
+                     "to_mont", "from_mont", "sum_last", "dot"):
             setattr(self, meth, jax.jit(getattr(self, meth)))
         self.pow_static = jax.jit(self.pow_static, static_argnums=1)
 
@@ -293,12 +293,12 @@ class LimbField:
         """Fermat inverse a^(m-2); inv(0) = 0 by convention."""
         return self.pow_static(a, self.modulus - 2)
 
-    def prefix_mul(self, x, reverse: bool = False):
-        """Inclusive running product along the last axis, log-depth.
+    def _prefix_scan(self, op, x, reverse: bool = False):
+        """Inclusive running fold of `op` along the last axis, log-depth.
 
         Implemented as a fori_loop doubling scan (one compiled body) rather
         than lax.associative_scan, which would inline O(log n) copies of the
-        multiplier and blow up compile time."""
+        operator and blow up compile time."""
         n = x.shape[-1]
         if n == 1:
             return x
@@ -312,13 +312,55 @@ class LimbField:
         def body(r, acc):
             s = jnp.left_shift(jnp.int32(1), r)
             shifted = jnp.roll(acc, s, axis=-1)
-            prod = self.mul(acc, shifted)
+            prod = op(acc, shifted)
             return jnp.where(idx >= s, prod, acc)
 
         x = jax.lax.fori_loop(0, rounds, body, x)
         if reverse:
             x = jnp.flip(x, -1)
         return x
+
+    def prefix_mul(self, x, reverse: bool = False):
+        """Inclusive running product along the last axis, log-depth."""
+        return self._prefix_scan(self.mul, x, reverse)
+
+    def prefix_add(self, x, reverse: bool = False):
+        """Inclusive running sum along the last axis, log-depth."""
+        return self._prefix_scan(self.add, x, reverse)
+
+    def _renorm_sum(self, digits):
+        """Reduce an un-normalised digit array (values < 2^27, i.e. a raw
+        uint32 limb-wise sum of < 2^11 field elements) to a field element."""
+        L = self.L
+        limbs, carry = _resolve_carries(digits)
+        t = jnp.concatenate(
+            [limbs, carry[None], jnp.zeros((L - 1,) + limbs.shape[1:], DTYPE)],
+            axis=0,
+        )
+        # mont_reduce gives V*R^-1; to_mont multiplies back by R -> V mod m,
+        # which is the Montgomery form of the sum of the (Montgomery) inputs.
+        return self.to_mont(self._mont_reduce(t))
+
+    def sum_last(self, a):
+        """Sum of field elements along the last axis: raw uint32 limb sums in
+        chunks of 2^11 (no overflow) + one Montgomery renormalisation per
+        level. O(1) field-mul depth — this is the TPU-native reduction that
+        replaces the reference's sequential fold loops."""
+        chunk = 1 << 11
+        while a.shape[-1] > 1:
+            n = a.shape[-1]
+            c = min(chunk, n)
+            npad = -(-n // c) * c
+            if npad != n:
+                pad = ((0, 0),) * (a.ndim - 1) + ((0, npad - n),)
+                a = jnp.pad(a, pad)
+            raw = jnp.sum(a.reshape(a.shape[:-1] + (npad // c, c)), axis=-1)
+            a = self._renorm_sum(raw)
+        return a[..., 0]
+
+    def dot(self, a, b):
+        """Inner product along the last axis."""
+        return self.sum_last(self.mul(a, b))
 
     def batch_inv(self, a):
         """Vectorised inversion along the LAST axis via Montgomery's trick

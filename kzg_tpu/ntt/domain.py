@@ -91,7 +91,11 @@ class Domain:
         self._dinv_np = np.asarray(FR.encode([self.d_inv]))[:, 0].reshape(FR.L, 1)
         self._ntt_fwd = jax.jit(partial(self._ntt, inverse=False))
         self._ntt_inv = jax.jit(partial(self._ntt, inverse=True))
-        self._mul_coset = jax.jit(lambda x, p: FR.mul(x, p))
+        self._mul_coset = jax.jit(
+            lambda x, p: FR.mul(
+                x, p.reshape((FR.L,) + (1,) * (x.ndim - 2) + (p.shape[-1],))
+            )
+        )
         self._ready = True
 
     @staticmethod
@@ -117,21 +121,24 @@ class Domain:
         logn = self.exp
         h = n // 2
         jidx = jnp.arange(h, dtype=jnp.int32)
+        bshape = x.shape[1:-1]  # arbitrary batch dims between limbs and n
+        wshape = (FR.L,) + (1,) * len(bshape) + (h,)
 
         def body(s, x):
-            a = x[:, :h]
-            b = x[:, h:]
+            a = x[..., :h]
+            b = x[..., h:]
             u = FR.add(a, b)
             t = FR.sub(a, b)
             low = jnp.left_shift(jnp.int32(1), s) - 1
-            w = jnp.take(tw, jidx & ~low, axis=1)
+            w = jnp.take(tw, jidx & ~low, axis=1).reshape(wshape)
             v = FR.mul(t, w)
-            return jnp.stack([u, v], axis=-1).reshape(FR.L, n)
+            return jnp.stack([u, v], axis=-1).reshape(x.shape)
 
         x = jax.lax.fori_loop(0, logn, body, x)
-        x = x[:, self.bitrev]
+        x = jnp.take(x, self.bitrev, axis=-1)
         if inverse:
-            x = FR.mul(x, jnp.asarray(self._dinv_np))
+            dinv = jnp.asarray(self._dinv_np).reshape((FR.L,) + (1,) * len(bshape) + (1,))
+            x = FR.mul(x, dinv)
         return x
 
     # ---- public API (reference ft.rs:111-178 parity) --------------------------

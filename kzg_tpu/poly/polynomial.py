@@ -1,0 +1,336 @@
+"""Dense polynomial algebra over Fr — TPU-native redesign of the reference's
+polynomial layer (reference src/polynomial.rs: Polynomial #2, long_division
+#3, fft_mul/best_mul #4, SubProductTree & fast multipoint #5, op_tree #6).
+
+Representation: coefficients as (16, n) Montgomery Fr limb arrays (limb axis
+leading, coefficient index on the lanes), with the degree tracked as a host
+Python int — degree is static per compilation, matching the reference's
+explicitly-tracked-degree design (polynomial.rs:24-27) while keeping every
+kernel shape static for XLA.
+
+Algorithm choices (TPU-first, not translations):
+  * multiplication is NTT-based at every size that fits a domain (the
+    reference's naive-vs-FFT threshold, polynomial.rs:13, is a CPU artifact;
+    a naive fallback is kept for parity testing);
+  * division by (X - x) is a log-depth suffix scan (q_j = sum_{i>j} f_i
+    x^{i-j-1}) instead of the reference's sequential synthetic division;
+  * general long division is a lax.scan schoolbook (one compiled body,
+    correct for any operands) — the protocol's hot exact-division path uses
+    coset evaluation division instead (see kzg/coeff_form.py);
+  * multipoint evaluation and Lagrange interpolation are O(k^2)-work but
+    O(log)-depth vectorised formulas over the point batch, which beats tree
+    recursion on a vector machine for the protocol's batch sizes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import R
+from ..fields import FR
+from ..ntt import Domain
+
+# --------------------------------------------------------------------------
+# jitted kernels (module-level, shape-specialised on first use)
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def _poly_add(a, b):
+    return FR.add(a, b)
+
+
+@jax.jit
+def _poly_sub(a, b):
+    return FR.sub(a, b)
+
+
+def _pad_to(c, n):
+    if c.shape[-1] == n:
+        return c
+    pad = ((0, 0),) * (c.ndim - 1) + ((0, n - c.shape[-1]),)
+    return jnp.pad(c, pad)
+
+
+def _mul_ntt(a, b, out_len: int):
+    """Product of coefficient arrays via NTT (reference fft_mul semantics,
+    polynomial.rs:167-183). Batched over any leading dims."""
+    exp = max(1, (out_len - 1).bit_length())
+    dom = Domain(exp)
+    fa = dom.ntt(_pad_to(a, dom.d))
+    fb = dom.ntt(_pad_to(b, dom.d))
+    return dom.intt(FR.mul(fa, fb))[..., :out_len]
+
+
+@jax.jit
+def _mul_naive(a, b):
+    """Schoolbook product via scan over the shorter operand (parity oracle
+    for _mul_ntt, mirroring the reference's naive Mul polynomial.rs:473-487)."""
+    if b.shape[-1] > a.shape[-1]:
+        a, b = b, a
+    na, nb = a.shape[-1], b.shape[-1]
+    out_len = na + nb - 1
+    apad = _pad_to(a, out_len)
+
+    def body(acc, j_and_coeff):
+        j, coeff = j_and_coeff
+        shifted = jnp.roll(apad, j, axis=-1)
+        acc = FR.add(acc, FR.mul(shifted, coeff[..., None]))
+        return acc, None
+
+    js = jnp.arange(nb)
+    coeffs_b = jnp.moveaxis(b, -1, 0)  # (nb, L, ...)
+    acc, _ = jax.lax.scan(
+        lambda acc, jc: body(acc, jc),
+        FR.zeros(apad.shape[1:]),
+        (js, coeffs_b),
+    )
+    return acc
+
+
+@jax.jit
+def _eval_many(coeffs, pts):
+    """Evaluate one polynomial (L, n) at many points (L, k) -> (L, k).
+
+    Chunked power method: inner dot over a 512-wide power table, outer
+    lax.scan over chunks (Horner in X^512). Depth O(n/512 + log)."""
+    n = coeffs.shape[-1]
+    k = pts.shape[-1]
+    c = min(512, n)
+    npad = -(-n // c) * c
+    coeffs = _pad_to(coeffs, npad)
+    # power table pts^0 .. pts^(c-1): (L, k, c)
+    base = jnp.broadcast_to(pts[..., None], (FR.L, k, c))
+    pw = FR.prefix_mul(base)
+    powers = jnp.concatenate([FR.one((k, 1)), pw[..., : c - 1]], axis=-1)
+    x_c = pw[..., c - 1]  # pts^c  (L, k)
+    chunks = coeffs.reshape(FR.L, npad // c, c)
+    chunks = jnp.moveaxis(chunks, 1, 0)[::-1]  # (nchunks, L, c), high-to-low
+
+    def body(acc, chunk):
+        inner = FR.sum_last(FR.mul(chunk[:, None, :], powers))  # (L, k)
+        return FR.add(FR.mul(acc, x_c), inner), None
+
+    acc, _ = jax.lax.scan(body, FR.zeros((k,)), chunks)
+    return acc
+
+
+@jax.jit
+def _div_by_linear(f, x):
+    """Quotient and remainder of f / (X - x) where x is (L, 1) or (L, k).
+
+    q_j = sum_{i>j} f_i x^{i-j-1} computed as a log-depth suffix scan:
+    q_j = xinv^{j+1} * suffix_sum(f_i x^i)_{j+1}; the x == 0 column falls
+    back to a coefficient shift. Remainder = f(x).
+    Batched: x with k columns divides the same f by k linear factors,
+    returning (L, k, n-1) quotients and (L, k) remainders."""
+    n = f.shape[-1]
+    k = x.shape[-1]
+    xb = jnp.broadcast_to(x[..., None], (FR.L, k, n))
+    pw = FR.prefix_mul(xb)  # x^1..x^n
+    powx = jnp.concatenate([FR.one((k, 1)), pw[..., : n - 1]], axis=-1)
+    t = FR.mul(f[:, None, :], powx)  # f_i x^i
+    s = FR.prefix_add(t, reverse=True)  # suffix sums, inclusive
+    rem = s[..., 0]  # f(x)
+    xinv = FR.batch_inv(x)
+    pwinv = FR.prefix_mul(jnp.broadcast_to(xinv[..., None], (FR.L, k, n - 1)))
+    q = FR.mul(s[..., 1:], pwinv)
+    # x == 0: quotient is f shifted down one
+    zero = FR.is_zero(x)[None, :, None]
+    qz = jnp.broadcast_to(f[:, None, 1:], q.shape)
+    q = jnp.where(zero, qz, q)
+    return q, rem
+
+
+def _long_division(f, d, nf: int, nd: int):
+    """Schoolbook long division with a single compiled scan body.
+
+    Matches reference semantics (polynomial.rs:193-227): returns (quotient,
+    remainder, remainder_is_zero). nf/nd are true coefficient counts
+    (degree+1); d's leading coefficient must be nonzero."""
+    f = f[..., :nf]
+    d = d[..., :nd]
+    steps = nf - nd + 1
+    if steps <= 0:
+        return FR.zeros((1,)), f, False  # quotient 0, remainder f
+    dlead_inv = FR.inv(d[..., nd - 1 : nd])
+    dpad = _pad_to(d, nf)  # d at positions [0, nd); we subtract at the top
+    dtop = jnp.roll(dpad, nf - nd, axis=-1)  # d's coeffs at [nf-nd, nf)
+
+    def body(rem, _):
+        factor = FR.mul(rem[..., nf - 1 : nf], dlead_inv)
+        rem = FR.sub(rem, FR.mul(dtop, factor))
+        rem = jnp.roll(rem, 1, axis=-1)
+        return rem, factor[..., 0]
+
+    rem, qs = jax.lax.scan(body, f, None, length=steps)
+    # qs: (steps, L) high-to-low -> (L, steps) low-to-high
+    q = jnp.moveaxis(qs, 0, -1)[..., ::-1]
+    r = rem[..., nf - (nd - 1) :] if nd > 1 else FR.zeros((1,))
+    return q, r, None
+
+
+# --------------------------------------------------------------------------
+# Polynomial type
+# --------------------------------------------------------------------------
+
+
+class Polynomial:
+    """Dense polynomial over Fr with explicitly tracked degree.
+
+    Mirrors the reference API surface (polynomial.rs:49-165, 295-300):
+    constructors, degree bookkeeping, Horner-equivalent eval, operator
+    overloads, scalar multiplication — over TPU-resident limb arrays.
+    """
+
+    def __init__(self, coeffs, degree: int | None = None):
+        coeffs = jnp.asarray(coeffs)
+        assert coeffs.ndim == 2 and coeffs.shape[0] == FR.L
+        self.coeffs = coeffs
+        self.degree = coeffs.shape[-1] - 1 if degree is None else degree
+        assert self.degree < coeffs.shape[-1]
+
+    # ---- constructors (polynomial.rs:49-92 parity) -------------------------
+
+    @classmethod
+    def from_ints(cls, ints, degree: int | None = None):
+        if len(ints) == 0:
+            ints = [0]
+        c = jnp.asarray(FR.encode(ints))
+        if degree is None:
+            degree = len(ints) - 1
+            while degree > 0 and ints[degree] == 0:
+                degree -= 1
+        return cls(c, degree)
+
+    @classmethod
+    def new_zero(cls):
+        return cls(FR.zeros((1,)), 0)
+
+    @classmethod
+    def new_zero_with_size(cls, n: int):
+        return cls(FR.zeros((n,)), 0)
+
+    @classmethod
+    def new_monic_of_degree(cls, degree: int):
+        """All-ones polynomial of the given degree (polynomial.rs:63-70)."""
+        return cls(FR.one((degree + 1,)), degree)
+
+    @classmethod
+    def new_single_term(cls, degree: int):
+        c = FR.zeros((degree + 1,))
+        one = FR.one(())
+        c = c.at[:, degree].set(one)
+        return cls(c, degree)
+
+    # ---- bookkeeping (polynomial.rs:94-155 parity) ---------------------------
+
+    def num_coeffs(self) -> int:
+        return self.degree + 1
+
+    def is_zero(self) -> bool:
+        return bool(np.asarray(FR.is_zero(self.coeffs).all()))
+
+    def trimmed(self):
+        """Coefficients truncated to num_coeffs (device array)."""
+        return self.coeffs[..., : self.degree + 1]
+
+    def fixup_degree(self):
+        """Sync the tracked degree down past leading zeros (device->host).
+        Mirrors polynomial.rs:108-125; costs a device sync, call sparingly."""
+        nz = ~np.asarray(FR.is_zero(self.coeffs))
+        idx = np.nonzero(nz)[0]
+        self.degree = int(idx[-1]) if len(idx) else 0
+        return self
+
+    def to_ints(self):
+        return FR.decode(self.trimmed())
+
+    # ---- arithmetic -----------------------------------------------------------
+
+    def __add__(self, other):
+        n = max(self.num_coeffs(), other.num_coeffs())
+        s = _poly_add(_pad_to(self.trimmed(), n), _pad_to(other.trimmed(), n))
+        return Polynomial(s, n - 1)
+
+    def __sub__(self, other):
+        n = max(self.num_coeffs(), other.num_coeffs())
+        s = _poly_sub(_pad_to(self.trimmed(), n), _pad_to(other.trimmed(), n))
+        return Polynomial(s, n - 1)
+
+    def __mul__(self, other):
+        return self.best_mul(other)
+
+    def scalar_mul(self, s):
+        """Multiply by a scalar given as int or (L,1) array."""
+        if isinstance(s, int):
+            s = jnp.asarray(FR.encode([s]))
+        return Polynomial(FR.mul(self.coeffs, s), self.degree)
+
+    def best_mul(self, other):
+        """NTT multiplication (the TPU 'best' path at every size; the
+        reference dispatches naive-vs-FFT at 128 coeffs, polynomial.rs:185-191)."""
+        out_len = self.num_coeffs() + other.num_coeffs() - 1
+        c = _mul_ntt(self.trimmed(), other.trimmed(), out_len)
+        return Polynomial(c, out_len - 1)
+
+    def naive_mul(self, other):
+        c = _mul_naive(self.trimmed(), other.trimmed())
+        return Polynomial(c, self.degree + other.degree)
+
+    def eval(self, x):
+        """Evaluate at one point (int -> int, or (L,1) array -> (L,1))."""
+        if isinstance(x, int):
+            pt = jnp.asarray(FR.encode([x]))
+            return FR.decode(_eval_many(self.trimmed(), pt))[0]
+        return _eval_many(self.trimmed(), x)
+
+    def eval_many(self, pts):
+        """Evaluate at (L, k) points -> (L, k). (multi_eval parity,
+        polynomial.rs:229-233, without the xs.len() > degree restriction.)"""
+        return _eval_many(self.trimmed(), pts)
+
+    def long_division(self, divisor):
+        """(quotient, remainder or None) — None iff division is exact,
+        which is the exactness signal the protocol layer turns into
+        PointNotOnPolynomial (reference coeff_form.rs:71-75)."""
+        q, r, _ = _long_division(
+            self.trimmed(), divisor.trimmed(), self.num_coeffs(), divisor.num_coeffs()
+        )
+        qp = Polynomial(q, max(0, self.degree - divisor.degree))
+        rp = Polynomial(r)
+        rp.fixup_degree()
+        if rp.is_zero():
+            return qp, None
+        return qp, rp
+
+    def div_by_linear(self, x: int):
+        """Fast path: divide by (X - x); returns (quotient, remainder_int)."""
+        pt = jnp.asarray(FR.encode([x]))
+        q, rem = _div_by_linear(self.trimmed(), pt)
+        return Polynomial(q[:, 0, :], max(0, self.degree - 1)), FR.decode(rem)[0]
+
+    def __eq__(self, other):
+        if self.degree != other.degree:
+            return False
+        n = max(self.num_coeffs(), other.num_coeffs())
+        return bool(
+            np.asarray(
+                FR.eq(_pad_to(self.trimmed(), n), _pad_to(other.trimmed(), n)).all()
+            )
+        )
+
+    def __repr__(self):
+        return f"Polynomial(degree={self.degree})"
+
+
+def op_tree(size: int, get_elem, op):
+    """Balanced binary fold (reference op_tree, polynomial.rs:367-392):
+    keeps intermediate degrees balanced, mapping onto a parallel tree."""
+    assert size > 0
+    if size == 1:
+        return get_elem(0)
+    half = size // 2
+    left = op_tree(half, get_elem, op)
+    right = op_tree(size - half, lambda i: get_elem(half + i), op)
+    return op(left, right)
