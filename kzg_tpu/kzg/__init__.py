@@ -1,0 +1,35 @@
+from .errors import (
+    KZGError,
+    PolynomialDegreeTooLarge,
+    PointNotOnPolynomial,
+    BatchedPointsNotOnPolynomial,
+)
+from .setup import KZGParams, setup, csprng_setup
+from .coeff_form import KZGProver, KZGVerifier, KZGBatchWitness
+from .eval_form import (
+    KZGProverEvalForm,
+    KZGVerifierEvalForm,
+    KZGBatchWitnessEvalForm,
+    LagrangeSRS,
+    compute_lagrange_basis,
+    compute_lagrange_basis_from_secret,
+)
+
+__all__ = [
+    "KZGError",
+    "PolynomialDegreeTooLarge",
+    "PointNotOnPolynomial",
+    "BatchedPointsNotOnPolynomial",
+    "KZGParams",
+    "setup",
+    "csprng_setup",
+    "KZGProver",
+    "KZGVerifier",
+    "KZGBatchWitness",
+    "KZGProverEvalForm",
+    "KZGVerifierEvalForm",
+    "KZGBatchWitnessEvalForm",
+    "LagrangeSRS",
+    "compute_lagrange_basis",
+    "compute_lagrange_basis_from_secret",
+]

@@ -1,0 +1,159 @@
+"""Coefficient-form KZG prover and verifier.
+
+Parity target: reference src/coeff_form.rs (KZGProver :38-112, KZGVerifier
+:114-183, KZGBatchWitness :12-35). TPU-native redesign:
+
+  * commit / witness = one Pippenger MSM over the sharded-able SRS;
+  * the single-point witness quotient (f - y)/(X - x) is a log-depth suffix
+    scan (poly layer) instead of schoolbook division (coeff_form.rs:66-81);
+  * the batched witness quotient (f - r)/Z is computed by COSET EVALUATION
+    DIVISION: evaluate numerator and Z on a coset (where Z has no roots),
+    pointwise multiply by the batch inverse, interpolate back — O(n log n)
+    fully-parallel work instead of the reference's O(n k) long division
+    (coeff_form.rs:94); falls back to scan division in the measure-zero case
+    of a batch point lying on the coset;
+  * "is the point on the polynomial" is checked by direct evaluation, which
+    is equivalent to the reference's remainder test (coeff_form.rs:71-75,
+    polynomial remainder theorem) and costs O(n) instead of a division;
+  * pairing checks run host-side over the oracle tower (2 small points cross
+    the device boundary; the pairing itself is degree-independent).
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import R
+from ..fields import FR
+from ..curve import G1, G2, g1_from_device, g2_from_device
+from ..msm import msm_g1, msm_g2
+from ..ntt import Domain
+from ..poly import Polynomial, vanishing_poly, lagrange_interpolation
+from ..poly.polynomial import _pad_to
+from ..oracle import multi_pairing_check, ec_neg, ec_add, ec_mul
+from .errors import PointNotOnPolynomial, BatchedPointsNotOnPolynomial
+from .setup import KZGParams
+
+
+@dataclass
+class KZGBatchWitness:
+    """Batched opening witness: the interpolated remainder polynomial r and
+    the aggregate quotient commitment w (reference coeff_form.rs:12-35)."""
+
+    r: Polynomial
+    w: tuple  # G1 Jacobian device point
+
+
+def _slice_srs(gs, n):
+    return tuple(t[..., :n] for t in gs)
+
+
+class KZGProver:
+    """Stateless prover borrowing the SRS (coeff_form.rs:38-53)."""
+
+    def __init__(self, params: KZGParams):
+        self.params = params
+
+    def commit(self, poly: Polynomial):
+        """C = MSM(gs[..n], coeffs)  (coeff_form.rs:59-64)."""
+        n = poly.num_coeffs()
+        assert n <= self.params.n, "polynomial larger than SRS"
+        return msm_g1(_slice_srs(self.params.gs, n), poly.trimmed())
+
+    def create_witness(self, poly: Polynomial, point):
+        """Witness for f(x) = y: psi = (f - y)/(X - x), w = MSM(gs, psi)
+        (coeff_form.rs:66-81). Raises PointNotOnPolynomial when y != f(x)."""
+        x, y = point
+        if poly.eval(x) != y % R:
+            raise PointNotOnPolynomial(f"({x}, {y}) not on polynomial")
+        fm = poly.trimmed()
+        ymont = jnp.asarray(FR.encode([y % R]))
+        f_minus_y = fm.at[:, 0].set(FR.sub(fm[:, 0:1], ymont)[:, 0])
+        shifted = Polynomial(f_minus_y, poly.degree)
+        q, _ = shifted.div_by_linear(x)
+        if q.num_coeffs() == 0 or poly.degree == 0:
+            return G1.infinity(())
+        return msm_g1(_slice_srs(self.params.gs, q.num_coeffs()), q.trimmed())
+
+    def create_witness_batched(self, poly: Polynomial, xs, ys) -> KZGBatchWitness:
+        """Aggregate witness for f(x_i) = y_i: r interpolates the points,
+        psi = (f - r)/Z, w = MSM(gs, psi) (coeff_form.rs:83-111)."""
+        assert len(xs) == len(ys) and len(xs) > 0
+        xs_d = jnp.asarray(FR.encode([x % R for x in xs]))
+        ys_d = jnp.asarray(FR.encode([y % R for y in ys]))
+        got = FR.decode(poly.eval_many(xs_d))
+        if got != [y % R for y in ys]:
+            raise BatchedPointsNotOnPolynomial("some (x_i, y_i) not on polynomial")
+        z = vanishing_poly(xs_d)
+        r = lagrange_interpolation(xs_d, ys_d)
+        numerator = poly - r
+        q = self._exact_div(numerator, z)
+        w = msm_g1(_slice_srs(self.params.gs, q.num_coeffs()), q.trimmed())
+        return KZGBatchWitness(r=r, w=w)
+
+    @staticmethod
+    def _exact_div(numerator: Polynomial, z: Polynomial) -> Polynomial:
+        """(numerator / z), exactness guaranteed by the caller's evaluation
+        check. Coset evaluation division (see module docstring)."""
+        n = numerator.num_coeffs()
+        k = z.num_coeffs()
+        if n < k:
+            return Polynomial.new_zero()
+        exp = max(1, (n - 1).bit_length())
+        dom = Domain(exp)
+        ne = dom.coset_ntt(_pad_to(numerator.trimmed(), dom.d))
+        ze = dom.coset_ntt(_pad_to(z.trimmed(), dom.d))
+        zinv = FR.batch_inv(ze)
+        # a batch point on the coset would make Z vanish there (measure-zero;
+        # adversarially possible) -> fall back to exact scan division
+        if bool(np.asarray(FR.is_zero(ze).any())):
+            q, _ = numerator.long_division(z)
+            return q
+        q_evals = FR.mul(ne, zinv)
+        q_coeffs = dom.coset_intt(q_evals)[..., : n - k + 1]
+        return Polynomial(q_coeffs, n - k)
+
+
+class KZGVerifier:
+    """Stateless verifier borrowing the SRS (coeff_form.rs:114-183).
+    Pairing checks evaluate host-side over the oracle tower."""
+
+    def __init__(self, params: KZGParams):
+        self.params = params
+        # cache small host copies of g = gs[0], h = hs[0], h^s = hs[1]
+        self._g = g1_from_device(tuple(t[..., 0:1] for t in params.gs))[0]
+        self._h = g2_from_device(tuple(t[..., 0:1] for t in params.hs))[0]
+        self._hs1 = g2_from_device(tuple(t[..., 1:2] for t in params.hs))[0]
+
+    def verify_poly(self, commitment, poly: Polynomial) -> bool:
+        """Recommit and compare (coeff_form.rs:119-124)."""
+        n = poly.num_coeffs()
+        again = msm_g1(_slice_srs(self.params.gs, n), poly.trimmed())
+        return bool(np.asarray(G1.eq(commitment, again)))
+
+    def verify_eval(self, point, commitment, witness) -> bool:
+        """e(w, h^s / h^x) == e(C / g^y, h)  (coeff_form.rs:126-142)."""
+        x, y = point
+        c_host = g1_from_device(tuple(t[..., None] for t in commitment))[0]
+        w_host = g1_from_device(tuple(t[..., None] for t in witness))[0]
+        s2 = ec_add(self._hs1, ec_neg(ec_mul(self._h, x % R)))  # h^(s - x)
+        rhs_g1 = ec_add(c_host, ec_neg(ec_mul(self._g, y % R)))  # C - y*g
+        # e(w, s2) * e(-(C - y g), h) == 1
+        return multi_pairing_check([(w_host, s2), (ec_neg(rhs_g1), self._h)])
+
+    def verify_eval_batched(self, commitment, batch_witness: KZGBatchWitness, xs) -> bool:
+        """e(w, h^Z) == e(C / g^r, h)  (coeff_form.rs:144-182)."""
+        xs_d = jnp.asarray(FR.encode([x % R for x in xs]))
+        z = vanishing_poly(xs_d)  # op_tree product in the reference
+        hz = msm_g2(
+            tuple(t[..., : z.num_coeffs()] for t in self.params.hs), z.trimmed()
+        )
+        r = batch_witness.r
+        gr = msm_g1(_slice_srs(self.params.gs, r.num_coeffs()), r.trimmed())
+        hz_host = g2_from_device(tuple(t[..., None] for t in hz))[0]
+        gr_host = g1_from_device(tuple(t[..., None] for t in gr))[0]
+        c_host = g1_from_device(tuple(t[..., None] for t in commitment))[0]
+        w_host = g1_from_device(tuple(t[..., None] for t in batch_witness.w))[0]
+        lhs_g1 = ec_add(c_host, ec_neg(gr_host))
+        return multi_pairing_check([(w_host, hz_host), (ec_neg(lhs_g1), self._h)])
