@@ -133,9 +133,14 @@ class LimbField:
         return [self.to_int(flat[:, j]) for j in range(flat.shape[1])]
 
     def encode(self, xs) -> np.ndarray:
-        """ints -> Montgomery-form jnp array (L, n). Host-side."""
-        std = self.from_ints(xs)
-        return np.asarray(self.to_mont(jnp.asarray(std)))
+        """ints -> Montgomery-form (L, n) numpy array. Pure host arithmetic
+        (no device call), so it is safe under an outer jit trace, where the
+        result becomes a compile-time constant."""
+        return np.stack(
+            [_np_limbs((x % self.modulus) * self.mont_r % self.modulus, self.L)
+             for x in xs],
+            axis=1,
+        )
 
     def decode(self, arr):
         """Montgomery-form (L, ...) -> list of ints. Host-side."""

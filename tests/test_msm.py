@@ -1,0 +1,63 @@
+"""Pippenger MSM differential tests against the oracle double-and-add,
+including the adversarial shapes the sort/bucket formulation must survive:
+repeated points, zero scalars, infinity inputs, single-element batches, and
+several window sizes (reference surface: blst multi_exp, used at
+coeff_form.rs:61,78,102 and eval_form.rs:118,136)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kzg_tpu.constants import R
+from kzg_tpu.fields import FR
+from kzg_tpu.curve import G1, G2, g1_to_device, g2_to_device, g1_from_device, g2_from_device
+from kzg_tpu.msm import msm_g1, msm_g2
+from kzg_tpu.oracle import ec_add, ec_mul, g1_generator, g2_generator
+
+
+def oracle_msm(points, scalars, mul=ec_mul):
+    acc = None
+    for p, s in zip(points, scalars):
+        acc = ec_add(acc, mul(p, s))
+    return acc
+
+
+def run_g1(points, scalars, c=None):
+    dev = g1_to_device(points)
+    s = jnp.asarray(FR.encode([x % R for x in scalars]))
+    got = msm_g1((dev[0], dev[1], np.asarray(FR.is_zero(dev[2]))), s, c)
+    return g1_from_device(tuple(t[..., None] for t in got))[0]
+
+
+@pytest.mark.parametrize("n,c", [(1, 2), (7, 3), (16, 4), (33, 5)])
+def test_msm_g1_random(n, c, rng):
+    g = g1_generator()
+    pts = [ec_mul(g, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    assert run_g1(pts, scalars, c) == oracle_msm(pts, scalars)
+
+
+def test_msm_g1_edge_cases(rng):
+    g = g1_generator()
+    pts = [g, g, None, ec_mul(g, 7), ec_mul(g, 7), ec_mul(g, 9), None, g]
+    scalars = [0, 1, 5, R - 1, R - 1, 0, 0, 1]
+    assert run_g1(pts, scalars, 4) == oracle_msm(pts, scalars)
+
+
+def test_msm_g1_all_zero_scalars(rng):
+    g = g1_generator()
+    pts = [ec_mul(g, i + 1) for i in range(8)]
+    assert run_g1(pts, [0] * 8, 3) is None
+
+
+def test_msm_g2_random(rng):
+    h = g2_generator()
+    n = 6
+    pts = [ec_mul(h, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    dev = g2_to_device(pts)
+    inf = np.asarray(jnp.all(dev[2] == 0, axis=(0, 1)))
+    s = jnp.asarray(FR.encode([x % R for x in scalars]))
+    got = msm_g2((dev[0], dev[1], jnp.asarray(inf)), s, 4)
+    got_pt = g2_from_device(tuple(t[..., None] for t in got))[0]
+    assert got_pt == oracle_msm(pts, scalars)
