@@ -43,6 +43,15 @@ def _ec_mul_raw(p, k: int):
 
 
 def _in_subgroup(p) -> bool:
+    """r-torsion membership. Dispatches to the native C++ engine when built
+    (the pure-Python ladder below is the fallback/oracle path)."""
+    from .. import native
+
+    if native.available():
+        # G2 points carry Fp2 coordinates (oracle Fp2 has .a/.b Fp parts)
+        if p is not None and isinstance(p[0], Fp2):
+            return native.g2_in_subgroup(p)
+        return native.g1_in_subgroup(p)
     return _ec_mul_raw(p, R) is None
 
 

@@ -31,7 +31,8 @@ from ..msm import msm_g1, msm_g2
 from ..ntt import Domain
 from ..poly import Polynomial, vanishing_poly, lagrange_interpolation
 from ..poly.polynomial import _pad_to
-from ..oracle import multi_pairing_check, ec_neg, ec_add, ec_mul
+from ..oracle import ec_neg, ec_add, ec_mul
+from ..hostcrypto import multi_pairing_check
 from .errors import PointNotOnPolynomial, BatchedPointsNotOnPolynomial
 from .setup import KZGParams
 

@@ -30,7 +30,8 @@ from ..msm import msm_g1, msm_g2
 from ..msm.pippenger import _digits
 from ..ntt import Domain
 from ..poly import Polynomial
-from ..oracle import multi_pairing_check, ec_neg, ec_add, ec_mul
+from ..oracle import ec_neg, ec_add, ec_mul
+from ..hostcrypto import multi_pairing_check
 from .errors import PolynomialDegreeTooLarge, PointNotOnPolynomial
 from .setup import KZGParams, _ladders_jit, FIXED_BASE_WINDOW
 
