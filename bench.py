@@ -35,10 +35,15 @@ def main():
     pts = G1.to_affine(
         G1.scalar_mul_bits(g1_generator_device(n), jnp.asarray(bits))
     )
-    scalars_np = np.array(
-        [rng.integers(0, 1 << 62) for _ in range(n)], dtype=object
-    )
-    scalars = jnp.asarray(FR.encode([int(s) % R for s in scalars_np]))
+    # full-range 255-bit scalars (uniform mod r) — the real workload; small
+    # scalars would leave most windows empty and overstate throughput
+    words = rng.integers(0, 1 << 62, size=(n, 5), dtype=np.int64)
+    scalars_int = [
+        (int(w[0]) | int(w[1]) << 62 | int(w[2]) << 124 | int(w[3]) << 186
+         | int(w[4]) << 248) % R
+        for w in words
+    ]
+    scalars = jnp.asarray(FR.encode(scalars_int))
 
     run = jax.jit(
         lambda x, y, inf, s: _msm_impl(G1, x, y, inf, FR.from_mont(s), c)
@@ -48,11 +53,17 @@ def main():
     out = run(pts[0], pts[1], pts[2], scalars)
     jax.block_until_ready(out)
 
+    # Each iteration uses DISTINCT scalars and every result is fetched to
+    # host: identical repeated executions can be served from a cache by the
+    # remote-device tunnel, which makes same-input timing loops report
+    # physically impossible rates.
     iters = 5
+    variants = [jnp.roll(scalars, i + 1, axis=-1) for i in range(iters)]
+    jax.block_until_ready(variants)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(pts[0], pts[1], pts[2], scalars)
-    jax.block_until_ready(out)
+    outs = [run(pts[0], pts[1], pts[2], s) for s in variants]
+    for o in outs:
+        np.asarray(o[0])
     dt = (time.perf_counter() - t0) / iters
 
     pps = n / dt

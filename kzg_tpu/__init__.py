@@ -9,4 +9,42 @@ speed and multi-host TPU meshes (jax.sharding + shard_map collectives).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compile cache: the limb/point kernels are compile-heavy (fused
+# Pallas point ops take ~30-40s each the first time); cache them across
+# processes. Opt out with KZG_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("KZG_TPU_NO_COMPILE_CACHE"):
+
+    def _machine_tag() -> str:
+        # XLA:CPU caches AOT machine code; reusing entries compiled on a
+        # host with different CPU features segfaults (observed SIGSEGV from
+        # avx512-targeted cache entries). Key the cache dir by CPU flags.
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        return hashlib.sha256(line.encode()).hexdigest()[:12]
+        except OSError:
+            pass
+        import platform
+
+        return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+    _cache_dir = _os.environ.get(
+        "KZG_TPU_COMPILE_CACHE_DIR",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(__file__)),
+            ".jax_cache",
+            _machine_tag(),
+        ),
+    )
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from .kzg.errors import KZGError  # noqa: F401

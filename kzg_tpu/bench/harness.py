@@ -134,6 +134,29 @@ GROUPS = {
 }
 
 
+class TraceProfiler:
+    """Per-group profiler hook: the jax.profiler analog of the reference's
+    criterion FlamegraphProfiler (benches/perf.rs:40-72 wraps pprof and
+    writes flamegraph.svg per bench). Here each bench group is wrapped in a
+    jax.profiler trace whose Perfetto/XProf dump lands in
+    <dir>/<group>/ — inspect with `xprof` or ui.perfetto.dev."""
+
+    def __init__(self, base_dir):
+        self.base_dir = base_dir
+
+    def run(self, name, fn, *args):
+        import os
+
+        import jax
+
+        if self.base_dir is None:
+            return fn(*args)
+        d = os.path.join(self.base_dir, name)
+        os.makedirs(d, exist_ok=True)
+        with jax.profiler.trace(d):
+            return fn(*args)
+
+
 def main():
     import random
 
@@ -141,15 +164,22 @@ def main():
     ap.add_argument("--sizes", default="16,64,128,256")
     ap.add_argument("--group", default="all", choices=["all"] + list(GROUPS))
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--profile-dir",
+        default=None,
+        help="write a jax.profiler trace per bench group under this dir "
+        "(the flamegraph hook of the reference, benches/perf.rs)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     rng = random.Random(42)
+    profiler = TraceProfiler(args.profile_dir)
 
     results = {}
     for name, fn in GROUPS.items():
         if args.group not in ("all", name):
             continue
-        fn(sizes, rng, results)
+        profiler.run(name, fn, sizes, rng, results)
     for k, v in results.items():
         unit = "points/s" if "per_sec" in k else "s"
         print(f"{k:40s} {v:12.6g} {unit}")

@@ -1,7 +1,15 @@
 """Curve instances: G1 over Fp, G2 over Fp2, plus host converters to/from
-the pure-Python oracle's point representation."""
+the pure-Python oracle's point representation.
+
+On a real accelerator backend G1 uses the fused Pallas point kernels
+(curve/pallas_ops.py) for its hot batch ops; on CPU (tests, virtual-mesh
+dry runs) it stays on the pure-XLA formulas. Set KZG_TPU_NO_PALLAS=1 to
+force the XLA path everywhere."""
+
+import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..constants import B_G1, B_G2, G1_GEN, G2_GEN
@@ -11,7 +19,15 @@ from .ops import CurveOps, FpAdapter, Fp2Adapter
 FPA = FpAdapter(FP)
 FP2A = Fp2Adapter(FP)
 
-G1 = CurveOps(FPA, name="G1")
+
+from ..fields.pallas_field import pallas_enabled as _pallas_enabled
+
+if _pallas_enabled():
+    from .pallas_ops import PallasCurveOps
+
+    G1 = PallasCurveOps(FPA, name="G1")
+else:
+    G1 = CurveOps(FPA, name="G1")
 G2 = CurveOps(FP2A, name="G2")
 
 # curve constants b (Montgomery, broadcastable)
@@ -37,11 +53,22 @@ def g1_to_device(points):
     return (FPA.encode(xs), FPA.encode(ys), FPA.encode(zs))
 
 
+def _is_affine_triple(point, bdim: int) -> bool:
+    """Affine batches carry a boolean infinity mask as the third element;
+    Jacobian batches carry a Z field element (limb axis present)."""
+    return point[2].ndim == point[0].ndim - bdim
+
+
 def g1_from_device(point):
-    """Batched Jacobian device point -> list of oracle points."""
+    """Batched device point -> list of oracle points. Accepts either a
+    Jacobian (X, Y, Z) batch or an affine (x, y, inf_mask) batch (the form
+    stored in KZGParams / returned by to_affine)."""
     from ..oracle.field import Fp
 
-    x, y, inf = G1.to_affine(point)
+    if _is_affine_triple(point, 1):
+        x, y, inf = point
+    else:
+        x, y, inf = G1.to_affine(point)
     xs = FPA.decode(x)
     ys = FPA.decode(y)
     infs = np.asarray(inf).reshape(-1)
@@ -65,7 +92,10 @@ def g2_to_device(points):
 def g2_from_device(point):
     from ..oracle.field import Fp2
 
-    x, y, inf = G2.to_affine(point)
+    if _is_affine_triple(point, 2):
+        x, y, inf = point
+    else:
+        x, y, inf = G2.to_affine(point)
     xs = FP2A.decode(x)
     ys = FP2A.decode(y)
     infs = np.asarray(inf).reshape(-1)

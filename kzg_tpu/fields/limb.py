@@ -86,6 +86,8 @@ class LimbField:
         self.r2_np = _np_limbs(self.r2_int, n_limbs)
         self.one_mont_np = _np_limbs(self.mont_r % modulus, n_limbs)
         self.nprime_np = _np_limbs(self.nprime_int, n_limbs)
+        self.one_std_np = _np_limbs(1, n_limbs)
+        self._pk = None  # lazy Pallas kernel cache (FieldKernels)
         # jit the public entry points: each op expands to many limb HLOs, so
         # eager dispatch would dominate. One compile per batch shape.
         for meth in ("add", "sub", "neg", "mul", "sqr", "inv", "batch_inv",
@@ -167,13 +169,35 @@ class LimbField:
             ge = jnp.logical_or(ge, extra_carry != 0)
         return jnp.where(ge[None], diff, limbs)
 
+    # ---- Pallas dispatch -----------------------------------------------------
+    #
+    # On accelerator backends the hot elementwise ops run as fused Pallas
+    # kernels (fields/pallas_field.py) whenever the flattened batch maps onto
+    # whole 1024-lane blocks; otherwise (CPU tests, tiny batches) the XLA limb
+    # formulas below are used. Both paths are bit-identical.
+
+    def _pallas(self):
+        if self._pk is None:
+            from .pallas_field import FieldKernels
+
+            self._pk = FieldKernels(self)
+        return self._pk
+
     # ---- ring ops ------------------------------------------------------------
 
     def add(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        out = self._pallas().try_binary("add", a, b)
+        if out is not None:
+            return out
         s, carry = _resolve_carries(a + b)
         return self._cond_sub_mod(s, carry)
 
     def sub(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        out = self._pallas().try_binary("sub", a, b)
+        if out is not None:
+            return out
         diff, borrow = self._sub_borrow(a, b)
         m = jnp.broadcast_to(self._const(self.mod_np, diff.ndim - 1), diff.shape)
         plus_m, _ = _resolve_carries(diff + m)
@@ -233,19 +257,31 @@ class LimbField:
     def mul(self, a, b):
         """Montgomery multiply: (a * b * R^-1) mod m."""
         a, b = jnp.broadcast_arrays(a, b)
+        out = self._pallas().try_binary("mul", a, b)
+        if out is not None:
+            return out
         return self._mont_reduce(self._mul_full(a, b))
 
     def sqr(self, a):
+        out = self._pallas().try_binary("mul", a, a)
+        if out is not None:
+            return out
         return self._mont_reduce(self._mul_full(a, a))
 
     def mul_const(self, a, c_np: np.ndarray):
         """Montgomery multiply by a precomputed (L,) numpy constant."""
+        out = self._pallas().try_mul_const(a, c_np)
+        if out is not None:
+            return out
         return self.mul(a, self._const(c_np, a.ndim - 1))
 
     def to_mont(self, a):
         return self.mul_const(a, self.r2_np)
 
     def from_mont(self, a):
+        out = self._pallas().try_mul_const(a, self.one_std_np)
+        if out is not None:
+            return out
         L = self.L
         pad = ((0, L),) + ((0, 0),) * (a.ndim - 1)
         return self._mont_reduce(jnp.pad(a, pad))

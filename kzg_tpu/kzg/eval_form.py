@@ -45,6 +45,26 @@ class LagrangeSRS:
     lh: tuple  # G2 affine batch
     exp: int
 
+    def save(self, path: str):
+        """Persist the (expensive) Lagrange-basis precompute — the
+        checkpoint analog of the reference's serde_support (SURVEY.md §5.4);
+        compute_lagrange_basis is the one-time cost worth caching."""
+        np.savez(
+            path,
+            lg_x=np.asarray(self.lg[0]), lg_y=np.asarray(self.lg[1]),
+            lg_i=np.asarray(self.lg[2]),
+            lh_x=np.asarray(self.lh[0]), lh_y=np.asarray(self.lh[1]),
+            lh_i=np.asarray(self.lh[2]),
+            exp=self.exp,
+        )
+
+    @classmethod
+    def load(cls, path: str):
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        lg = tuple(jnp.asarray(z[k]) for k in ("lg_x", "lg_y", "lg_i"))
+        lh = tuple(jnp.asarray(z[k]) for k in ("lh_x", "lh_y", "lh_i"))
+        return cls(lg=lg, lh=lh, exp=int(z["exp"]))
+
 
 @dataclass
 class KZGBatchWitnessEvalForm:
@@ -143,9 +163,45 @@ def _lagrange_scalars_jit(exp: int, c: int, s_mont):
 
 def compute_lagrange_basis_from_secret(s: int, exp: int) -> LagrangeSRS:
     """Fast path when the setup secret is known (test/csprng setups): build
-    the L_i(s) scalars directly and run two fixed-base ladders."""
+    the L_i(s) scalars directly and run two fixed-base ladders. On CPU
+    backends the native host engine computes the points instead (the same
+    engine-selection rule as setup(), see setup._host_engine_preferred)."""
+    from .setup import _host_engine_preferred
+
+    if _host_engine_preferred():
+        return _lagrange_basis_host(s, exp)
     digits = _lagrange_scalars_jit(exp, FIXED_BASE_WINDOW, jnp.asarray(FR.encode([s % R])))
     lg, lh = _ladders_jit(FIXED_BASE_WINDOW, digits)
+    return LagrangeSRS(lg=lg, lh=lh, exp=exp)
+
+
+def _lagrange_basis_host(s: int, exp: int) -> LagrangeSRS:
+    """Host path: L_i(s) = omega^i (s^d - 1) / (d (s - omega^i)) with Python
+    ints, points via the native engine."""
+    from .. import native
+    from ..curve import g1_to_device, g2_to_device
+    from ..oracle import g1_generator, g2_generator
+    from ..ntt.domain import compute_omega
+
+    d = 1 << exp
+    omega, _, _ = compute_omega(d)
+    s %= R
+    sd = (pow(s, d, R) - 1) % R
+    dinv = pow(d, -1, R)
+    wi = 1
+    gpts, hpts = [], []
+    g, h = g1_generator(), g2_generator()
+    for i in range(d):
+        li = sd * wi % R * pow((s - wi) % R, -1, R) % R * dinv % R
+        gpts.append(native.g1_mul(g, li))
+        hpts.append(native.g2_mul(h, li))
+        wi = wi * omega % R
+    gx, gy, _ = g1_to_device(gpts)
+    hx, hy, _ = g2_to_device(hpts)
+    ginf = np.array([p is None for p in gpts])
+    hinf = np.array([p is None for p in hpts])
+    lg = (jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(ginf))
+    lh = (jnp.asarray(hx), jnp.asarray(hy), jnp.asarray(hinf))
     return LagrangeSRS(lg=lg, lh=lh, exp=exp)
 
 

@@ -61,15 +61,19 @@ def _fixed_base_table(curve, gen_point, c: int, w_count: int):
     b = 1 << c
 
     # bases g_w = 2^(cw) * G, built by c*w_count sequential doublings (cheap,
-    # one lane) collected every c steps.
-    pt = gen_point  # batch shape (1,)
-    bases = []
-    for w in range(w_count):
-        bases.append(pt)
-        for _ in range(c):
-            pt = curve.dbl(pt)
-    base_batch = tuple(jnp.concatenate([bb[i] for bb in bases], axis=-1)
-                       for i in range(3))  # (..., w_count)
+    # one lane) collected every c steps. The chain runs under lax.scan with
+    # ONE traced doubling body — unrolling it in Python inlines hundreds of
+    # group-law graphs (~10^3 HLOs each) and stalls XLA's compiler at
+    # multi-GB memory.
+    def chain(pt, _):
+        nxt = jax.lax.fori_loop(0, c, lambda _i, q: curve.dbl(q), pt)
+        return nxt, pt
+
+    _, stacked = jax.lax.scan(chain, gen_point, None, length=w_count)
+    # scan stacks on axis 0: (w_count, ..., 1) -> (..., w_count)
+    base_batch = tuple(
+        jnp.moveaxis(t, 0, -1)[..., 0, :] for t in stacked
+    )
 
     # row for base B: [inf, B, 2B, ..., (b-1)B] via prefix point scan of a
     # constant-B batch
@@ -108,17 +112,66 @@ def _ladder_from_table(curve, table, digits):
     return jax.lax.fori_loop(0, w_count, body, curve.infinity((n,)))
 
 
-@partial(jax.jit, static_argnums=0)
-def _ladders_jit(c: int, digits):
-    """Both fixed-base ladders (G1 and G2) for a (W, n) digit array,
-    returned in affine form. Shared by setup() and the Lagrange-SRS
-    fast path."""
-    w_count = digits.shape[0]
+_TABLE_CACHE = {}
+
+
+def _table_cache_path(c: int, w_count: int) -> str:
+    d = os.environ.get(
+        "KZG_TPU_SRS_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".srs_cache"),
+    )
+    return os.path.join(d, f"fixed_base_c{c}_w{w_count}.npz")
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _tables_jit(c: int, w_count: int):
     t1 = _fixed_base_table(G1, g1_generator_device(1), c, w_count)
     t2 = _fixed_base_table(G2, g2_generator_device(1), c, w_count)
+    return t1, t2
+
+
+def fixed_base_tables(c: int, w_count: int):
+    """The G1/G2 fixed-base window tables T[w][d] = (d << cw) * G.
+
+    These depend only on the curve GENERATORS (not the secret), so they are
+    computed once and disk-cached (~7 MB): rebuilding costs minutes of
+    device math. Delete the .srs_cache file to force a rebuild; the slow
+    setup-parity test validates the table path against the oracle."""
+    key = (c, w_count)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    path = _table_cache_path(c, w_count)
+    if os.path.exists(path):
+        z = np.load(path)
+        t1 = tuple(jnp.asarray(z[f"t1_{i}"]) for i in range(3))
+        t2 = tuple(jnp.asarray(z[f"t2_{i}"]) for i in range(3))
+    else:
+        t1, t2 = _tables_jit(c, w_count)
+        jax.block_until_ready((t1, t2))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(
+            path,
+            **{f"t1_{i}": np.asarray(t) for i, t in enumerate(t1)},
+            **{f"t2_{i}": np.asarray(t) for i, t in enumerate(t2)},
+        )
+    _TABLE_CACHE[key] = (t1, t2)
+    return t1, t2
+
+
+@partial(jax.jit, static_argnums=0)
+def _ladders_from_tables_jit(c: int, digits, t1, t2):
     gs = _ladder_from_table(G1, t1, digits)
     hs = _ladder_from_table(G2, t2, digits)
     return G1.to_affine(gs), G2.to_affine(hs)
+
+
+def _ladders_jit(c: int, digits):
+    """Both fixed-base ladders (G1 and G2) for a (W, n) digit array,
+    returned in affine form. Shared by setup() and the Lagrange-SRS
+    fast path. Tables come from the process/disk cache."""
+    t1, t2 = fixed_base_tables(c, digits.shape[0])
+    return _ladders_from_tables_jit(c, digits, t1, t2)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -130,9 +183,53 @@ def _setup_digits_jit(n: int, c: int, s_mont):
     return _digits(FR.from_mont(powers), c)
 
 
+def _host_engine_preferred() -> bool:
+    """On CPU backends, build the SRS with the native host engine (the blst
+    role) instead of compiling the device ladder graphs: XLA-CPU takes
+    minutes to compile them per shape on small hosts. The device ladders
+    stay the accelerator-backend path and are pinned against the host
+    engine by the slow setup-parity test. Force the device path with
+    KZG_TPU_DEVICE_SETUP=1."""
+    if os.environ.get("KZG_TPU_DEVICE_SETUP"):
+        return False
+    try:
+        if jax.default_backend() != "cpu":
+            return False
+    except Exception:  # noqa: BLE001
+        return False
+    from .. import native
+
+    return native.available()
+
+
+def _setup_host(s: int, num_coeffs: int) -> KZGParams:
+    from .. import native
+    from ..curve import g1_to_device, g2_to_device
+    from ..oracle import g1_generator, g2_generator
+
+    gpts = native.g1_powers(g1_generator(), s % R, num_coeffs)
+    hpts = native.g2_powers(g2_generator(), s % R, num_coeffs)
+    gx, gy, gz = g1_to_device(gpts)
+    hx, hy, hz = g2_to_device(hpts)
+    # to affine (x, y, inf) form: host points are already affine, z==1
+    ginf = np.array([p is None for p in gpts])
+    hinf = np.array([p is None for p in hpts])
+    gs = (jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(ginf))
+    hs = (jnp.asarray(hx), jnp.asarray(hy), jnp.asarray(hinf))
+    return KZGParams(gs=gs, hs=hs, n=num_coeffs)
+
+
 def setup(s: int, num_coeffs: int) -> KZGParams:
     """Build an SRS for polynomials with up to num_coeffs coefficients from
     the secret s (reference setup(), lib.rs:38-55)."""
+    if _host_engine_preferred():
+        return _setup_host(s, num_coeffs)
+    return setup_device(s, num_coeffs)
+
+
+def setup_device(s: int, num_coeffs: int) -> KZGParams:
+    """Accelerator-path SRS build: log-depth power scan + fixed-base
+    windowed ladders (see module docstring)."""
     s_mont = jnp.asarray(FR.encode([s % R]))
     digits = _setup_digits_jit(num_coeffs, FIXED_BASE_WINDOW, s_mont)
     gs, hs = _ladders_jit(FIXED_BASE_WINDOW, digits)

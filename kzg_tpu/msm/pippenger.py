@@ -57,12 +57,15 @@ def _digits(scalars_std, c: int):
 
 
 def _point_suffix_scan(curve, p):
-    """suf[b] = sum_{j >= b} p[j] along the last (bucket) axis, log-depth."""
+    """suf[b] = sum_{j >= b} p[j] along the last axis via a roll-based
+    doubling scan. O(n log n) point work but ONE traced loop body — the
+    compile-compact formulation used when point ops are plain XLA (CPU):
+    unrolling the group law there costs ~10^3 HLOs per op and a few dozen
+    unrolled ops are enough to stall XLA's compiler."""
     n = p[0].shape[-1]
     if n == 1:
         return p
     rounds = max(1, (n - 1).bit_length())
-    bdim = curve._bdim()
     idx = jnp.arange(n)
 
     def body(r, acc):
@@ -74,25 +77,105 @@ def _point_suffix_scan(curve, p):
     return jax.lax.fori_loop(0, rounds, body, p)
 
 
+def _kernels_available(curve) -> bool:
+    from ..fields.pallas_field import pallas_enabled
+
+    return pallas_enabled() and getattr(curve, "_kernels", None) is not None
+
+
 def point_sum(curve, p):
-    """Sum of a batch of points along the last axis -> batch-() point."""
-    suf = _point_suffix_scan(curve, p)
-    return tuple(t[..., 0] for t in suf)
+    """Sum of a batch of points along the last axis -> batch-() point.
+
+    With Pallas point kernels: pairwise halving tree — n-1 point adds total
+    (each level one batched kernel), log-depth. Without them (CPU), the
+    roll-based scan keeps the compiled graph small instead."""
+    if not _kernels_available(curve):
+        suf = _point_suffix_scan(curve, p)
+        return tuple(t[..., 0] for t in suf)
+    n = p[0].shape[-1]
+    while n > 1:
+        if n % 2:
+            tail = tuple(t[..., -1:] for t in p)
+            p = tuple(t[..., :-1] for t in p)
+            lo = tuple(t[..., : n // 2] for t in p)
+            hi = tuple(t[..., n // 2:] for t in p)
+            s = curve.add(lo, hi)
+            p = tuple(
+                jnp.concatenate([a, b], axis=-1) for a, b in zip(s, tail)
+            )
+            n = n // 2 + 1
+        else:
+            lo = tuple(t[..., : n // 2] for t in p)
+            hi = tuple(t[..., n // 2:] for t in p)
+            p = curve.add(lo, hi)
+            n //= 2
+    return tuple(t[..., 0] for t in p)
+
+
+def weighted_bucket_sum(curve, buckets):
+    """S = sum_b b * B_b over the last axis (bucket index = weight).
+
+    Pairwise fold: with T_i = B_{2i} + B_{2i+1} and O_i = B_{2i+1},
+        S(B) = 2 * S(T) + sum(O),
+    unrolled:     S = sum_l 2^l * sum(O_l).
+    The upward pass builds T per level (n/2 + n/4 + ... adds); the odd
+    elements of every level are CONCATENATED (level-ascending) into one
+    width-(n-1) array whose tail (level >= l) is doubled l times by slicing
+    — then a single tree sum finishes. Total ~3n point adds in ~3 log n
+    batched kernel launches: log n times less work than a suffix-scan
+    formulation and without per-level mini-reductions.
+
+    On the XLA-formula path (CPU) the suffix-scan form is used instead:
+    same result, one traced loop body (see _point_suffix_scan)."""
+    n = buckets[0].shape[-1]
+    assert n & (n - 1) == 0, "bucket count must be a power of two"
+    if not _kernels_available(curve):
+        # S = sum_{b>=1} suffix_sum(B)[b]
+        suf = _point_suffix_scan(curve, buckets)
+        return point_sum(curve, tuple(t[..., 1:] for t in suf))
+    parts = []   # odd-indexed buckets per level, level-ascending
+    widths = []
+    p = buckets
+    while n > 1:
+        even = tuple(t[..., 0::2] for t in p)
+        odd = tuple(t[..., 1::2] for t in p)
+        parts.append(odd)
+        widths.append(n // 2)
+        p = curve.add(even, odd)
+        n //= 2
+    q = tuple(
+        jnp.concatenate([pt[i] for pt in parts], axis=-1) for i in range(3)
+    )
+    offs = np.cumsum(widths)
+    # element weights: 2^l for level l -> double the (level >= l) suffix
+    for l in range(1, len(widths)):
+        off = int(offs[l - 1])
+        head = tuple(t[..., :off] for t in q)
+        tail = curve.dbl(tuple(t[..., off:] for t in q))
+        q = tuple(
+            jnp.concatenate([h, t_], axis=-1) for h, t_ in zip(head, tail)
+        )
+    return point_sum(curve, q)
 
 
 def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
     n = xa.shape[-1]
+    elem_shape = xa.shape[:-1]  # (L,) for G1, (L, 2) for G2
     digits = _digits(scalars_std, c)  # (W, N)
     w_count = digits.shape[0]
     buckets = 1 << c
     bucket_ids = jnp.arange(buckets, dtype=jnp.int32)
+    # x/y/inf interleaved so the inner loop issues ONE gather per step
+    K = int(np.prod(elem_shape))
+    stacked = jnp.concatenate(
+        [xa.reshape(K, n), ya.reshape(K, n), inf[None].astype(xa.dtype)],
+        axis=0,
+    )
 
     def window(carry, dw):
         order = jnp.argsort(dw)
         ds = jnp.take(dw, order)
-        px = jnp.take(xa, order, axis=-1)
-        py = jnp.take(ya, order, axis=-1)
-        pinf = jnp.take(inf, order)
+        sp = jnp.take(stacked, order, axis=-1)
         start = jnp.searchsorted(ds, bucket_ids, side="left").astype(jnp.int32)
         end = jnp.searchsorted(ds, bucket_ids, side="right").astype(jnp.int32)
         count = (end - start).at[0].set(0)  # bucket 0 contributes nothing
@@ -102,23 +185,25 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
         def kbody(k, acc):
             idx = jnp.clip(start + k, 0, n - 1)
             valid = k < count
-            qx = jnp.take(px, idx, axis=-1)
-            qy = jnp.take(py, idx, axis=-1)
-            qinf = jnp.take(pinf, idx)
+            g = jnp.take(sp, idx, axis=-1)
+            qx = g[:K].reshape(elem_shape + (buckets,))
+            qy = g[K: 2 * K].reshape(elem_shape + (buckets,))
+            qinf = g[2 * K] != 0
             skip = jnp.logical_or(~valid, qinf)
             return curve.madd(acc, (qx, qy), skip)
 
-        acc = jax.lax.fori_loop(0, maxc, kbody, acc0)
-        # S_w = sum_b b * B_b  ==  sum_{b>=1} suffix_sum(B)[b]
-        suf = _point_suffix_scan(curve, acc)
-        s_w = point_sum(curve, tuple(t[..., 1:] for t in suf))
-        return carry, s_w
+        # buckets are NOT reduced here: the scan returns all windows'
+        # bucket arrays so the (launch-heavy) weighted reduction runs ONCE,
+        # batched across the window axis
+        return carry, jax.lax.fori_loop(0, maxc, kbody, acc0)
 
-    _, s_all = jax.lax.scan(window, None, digits)  # leaves: (W, ...) stacked
+    _, acc_all = jax.lax.scan(window, None, digits)  # leaves: (W, *elem, B)
+    acc_b = tuple(jnp.moveaxis(t, 0, -2) for t in acc_all)  # (*elem, W, B)
+    s_all = weighted_bucket_sum(curve, acc_b)  # (*elem, W) points
 
     def join(i, acc):
         acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
-        s_w = tuple(t[w_count - 1 - i] for t in s_all)
+        s_w = tuple(t[..., w_count - 1 - i] for t in s_all)
         return curve.add(acc, s_w)
 
     return jax.lax.fori_loop(0, w_count, join, curve.infinity(()))

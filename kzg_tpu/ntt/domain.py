@@ -26,7 +26,33 @@ import jax.numpy as jnp
 
 from ..constants import R, FR_ROOT_OF_UNITY, FR_TWO_ADICITY, FR_GENERATOR
 from ..fields import FR
+from ..fields.pallas_field import (
+    PallasFieldOps,
+    _run_elementwise,
+    pallas_enabled,
+)
 from ..kzg.errors import PolynomialDegreeTooLarge
+
+_butterfly = None
+
+
+def _get_butterfly():
+    """Fused DIF butterfly kernel: (a, b, w) -> (a + b, (a - b) * w).
+
+    One Pallas kernel per stage instead of three separate limb ops — the
+    whole butterfly (including the Montgomery multiply) stays in VMEM."""
+    global _butterfly
+    if _butterfly is None:
+        ops = PallasFieldOps(FR)
+
+        def body(a, b, w):
+            return ops.add(a, b), ops.mul(ops.sub(a, b), w)
+
+        def bf(a, b, w):
+            return _run_elementwise(FR, body, [a, b, w], 2)
+
+        _butterfly = bf
+    return _butterfly
 
 
 def _bitrev_perm(log_n: int) -> np.ndarray:
@@ -124,17 +150,41 @@ class Domain:
         bshape = x.shape[1:-1]  # arbitrary batch dims between limbs and n
         wshape = (FR.L,) + (1,) * len(bshape) + (h,)
 
-        def body(s, x):
-            a = x[..., :h]
-            b = x[..., h:]
-            u = FR.add(a, b)
-            t = FR.sub(a, b)
-            low = jnp.left_shift(jnp.int32(1), s) - 1
-            w = jnp.take(tw, jidx & ~low, axis=1).reshape(wshape)
-            v = FR.mul(t, w)
-            return jnp.stack([u, v], axis=-1).reshape(x.shape)
+        flat_h = h
+        for d in bshape:
+            flat_h *= d
+        if pallas_enabled() and flat_h % 1024 == 0:
+            # unrolled stage loop with one fused butterfly kernel per stage
+            # (the per-stage twiddle gather stays in XLA)
+            bf = _get_butterfly()
+            full = (FR.L,) + bshape + (h,)
+            for s in range(logn):
+                a = x[..., :h]
+                b = x[..., h:]
+                low = (1 << s) - 1
+                w = jnp.take(tw, jidx & ~low, axis=1).reshape(wshape)
+                wb = jnp.broadcast_to(w, full)
+                u, v = bf(
+                    a.reshape(FR.L, -1),
+                    b.reshape(FR.L, -1),
+                    wb.reshape(FR.L, -1),
+                )
+                x = jnp.stack(
+                    [u.reshape(full), v.reshape(full)], axis=-1
+                ).reshape(x.shape)
+        else:
 
-        x = jax.lax.fori_loop(0, logn, body, x)
+            def body(s, x):
+                a = x[..., :h]
+                b = x[..., h:]
+                u = FR.add(a, b)
+                t = FR.sub(a, b)
+                low = jnp.left_shift(jnp.int32(1), s) - 1
+                w = jnp.take(tw, jidx & ~low, axis=1).reshape(wshape)
+                v = FR.mul(t, w)
+                return jnp.stack([u, v], axis=-1).reshape(x.shape)
+
+            x = jax.lax.fori_loop(0, logn, body, x)
         x = jnp.take(x, self.bitrev, axis=-1)
         if inverse:
             dinv = jnp.asarray(self._dinv_np).reshape((FR.L,) + (1,) * len(bshape) + (1,))

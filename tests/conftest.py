@@ -21,10 +21,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the limb-kernel graphs are compile-heavy on this
-# box; caching makes repeat test runs fast
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# box; caching makes repeat test runs fast. kzg_tpu/__init__ configures the
+# machine-tagged cache dir (XLA:CPU AOT entries are CPU-feature-specific —
+# reusing another host's entries segfaults), so just import the package.
+import kzg_tpu  # noqa: E402,F401  (configures jax_compilation_cache_dir)
 
 import random
 
