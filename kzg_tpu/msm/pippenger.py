@@ -40,6 +40,32 @@ def pick_window(n: int) -> int:
     return max(2, min(16, int(math.log2(n)) - 3))
 
 
+# Below this size the bucket method's fixed costs (per-window sort + digit
+# bookkeeping, ~ceil(255/c) windows) dominate: a batched double-and-add over
+# the scalar bits plus one tree sum is both less work and a single compiled
+# loop body.
+SMALL_MSM_THRESHOLD = 512
+
+
+def _scalar_bits(scalars_std):
+    """(16L, N) 0/1 uint32 rows, LSB first, from (L, N) 16-bit limbs."""
+    rows = []
+    for limb in range(scalars_std.shape[0]):
+        for b in range(LIMB_BITS):
+            rows.append((scalars_std[limb] >> b) & 1)
+    return jnp.stack(rows).astype(jnp.uint32)
+
+
+def _msm_small(curve, xa, ya, inf, scalars_std):
+    """MSM for small batches: every point multiplied by its own scalar with
+    one batched ladder (one fori body), then a tree sum."""
+    bits = _scalar_bits(scalars_std)
+    base = (xa, ya, curve.fa.one(inf.shape))
+    base = curve.select(inf, curve.infinity(inf.shape), base)
+    prods = curve.scalar_mul_bits(base, bits)
+    return point_sum(curve, prods)
+
+
 def _digits(scalars_std, c: int):
     """(W, N) int32 window digits from (16, N) standard-form 16-bit limbs."""
     nbits = FR.L * LIMB_BITS
@@ -160,6 +186,8 @@ def weighted_bucket_sum(curve, buckets):
 
 def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
     n = xa.shape[-1]
+    if n < SMALL_MSM_THRESHOLD:
+        return _msm_small(curve, xa, ya, inf, scalars_std)
     elem_shape = xa.shape[:-1]  # (L,) for G1, (L, 2) for G2
     digits = _digits(scalars_std, c)  # (W, N)
     w_count = digits.shape[0]
