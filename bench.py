@@ -1,19 +1,60 @@
-"""Headline benchmark: single-chip G1 Pippenger MSM throughput.
+"""Headline benchmark: single-chip G1 Pippenger MSM at the north-star size,
+roofline-normalized (BASELINE.md: MSM points/s + NTT butterflies/s at
+2^20-2^24, judged against the chip's field-mul peak).
 
-The MSM is the reference's single hottest primitive (every commit, witness,
-and batched verify is one `multi_exp` call — SURVEY.md §2.2); points/sec on
-one chip is therefore the framework's headline number. Prints ONE JSON line.
+Prints ONE JSON line. The headline value is MSM points/s at 2^20; the
+`extras` field carries the roofline accounting that makes it interpretable:
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
-as 1.0 by convention; the value itself is tracked round over round by the
-driver in BENCH_r{N}.json.
+  fp_mul_peak_per_sec   measured peak of the fused Fp (381-bit) multiply
+                        kernel — the speed-of-light unit for curve work
+  fr_mul_peak_per_sec   same for Fr (255-bit) — the NTT's unit
+  msm_mfu               (useful Fp muls issued / second) / fp peak, with
+                        useful = n*W*mul_cost(madd): how close the whole
+                        MSM runs to pure-mul speed-of-light; padding waste,
+                        sorts, gathers, reductions and the window join all
+                        show up as lost MFU
+  ntt_butterflies_per_sec, ntt_mfu: (n/2)*log2(n) butterflies, 1 Fr mul
+                        each, against the Fr peak
+
+The reference publishes no numbers (BASELINE.md) so vs_baseline is 1.0 by
+convention; values are tracked round-over-round in BENCH_r{N}.json.
+
+Timing is cache-safe: every iteration uses distinct inputs and every result
+is fetched to host (identical repeated executions can be served from a
+cache by the remote-device tunnel, reporting physically impossible rates).
 """
 
 import json
-import sys
+import os
 import time
 
 import numpy as np
+
+LOG_N = int(os.environ.get("KZG_BENCH_LOGN", "20"))
+ITERS = int(os.environ.get("KZG_BENCH_ITERS", "2"))
+WINDOW = os.environ.get("KZG_BENCH_WINDOW")  # override MSM window size
+MSM_IMPL = os.environ.get("KZG_BENCH_MSM_IMPL")  # v1 | v2 | affine
+SKIP_PEAKS = os.environ.get("KZG_BENCH_SKIP_PEAKS")  # msm-only quick A/B
+
+
+def _fetch_scalar(out):
+    """Force completion without hauling buffers over the tunnel."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def _timeit(fn, variants, iters=ITERS):
+    import jax
+
+    out = fn(variants[0])
+    _fetch_scalar(out)
+    t0 = time.perf_counter()
+    outs = [fn(variants[1 + (i % (len(variants) - 1))]) for i in range(iters)]
+    for o in outs:
+        _fetch_scalar(o)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -21,22 +62,61 @@ def main():
     import jax.numpy as jnp
 
     from kzg_tpu.constants import R
-    from kzg_tpu.fields import FR
+    from kzg_tpu.fields import FR, FP
     from kzg_tpu.curve import G1, g1_generator_device
-    from kzg_tpu.msm.pippenger import _msm_impl, pick_window
+    from kzg_tpu.msm.pippenger import _msm_impl, _msm_impl_v2, pick_window
+    from kzg_tpu.ntt import Domain
+    from kzg_tpu.config import get_config, configure
 
-    n = 1 << 16
-    c = pick_window(n)
+    if MSM_IMPL:
+        configure(msm_impl=MSM_IMPL)
+    n = 1 << LOG_N
+    c = int(WINDOW) if WINDOW else (get_config().msm_window or pick_window(n))
+    extras = {"log_n": LOG_N, "window": c, "msm_impl": get_config().msm_impl,
+              "iters": ITERS}
 
-    # point batch: k*G for random 30-bit k via the batched ladder
     rng = np.random.default_rng(42)
+
+    # ---- field-mul peaks (speed-of-light units) -------------------------
+    def mul_peak(field, lanes):
+        vals = rng.integers(1, 1 << 60, size=lanes + 1, dtype=np.int64)
+        a = jnp.asarray(field.encode([int(v) for v in vals[:lanes]]))
+        b = jnp.asarray(field.encode([int(v) for v in vals[1:]]))
+        run = jax.jit(lambda x, y: field.mul(x, y))
+        variants = [jnp.roll(a, i, axis=-1) for i in range(4)]
+        jax.block_until_ready(variants)
+        dt = _timeit(lambda v: run(v, b), variants, iters=3)
+        return lanes / dt
+
+    fp_peak = None
+    if not SKIP_PEAKS:
+        fr_peak = mul_peak(FR, 1 << 19)
+        fp_peak = mul_peak(FP, 1 << 19)
+        extras["fr_mul_peak_per_sec"] = round(fr_peak, 1)
+        extras["fp_mul_peak_per_sec"] = round(fp_peak, 1)
+
+        # ---- NTT at 2^LOG_N ---------------------------------------------
+        dom = Domain(LOG_N)
+        x = jnp.asarray(FR.encode(
+            [int(v) % R for v in rng.integers(1, 1 << 62, size=n)]
+        ))
+        xvars = [jnp.roll(x, i + 1, axis=-1) for i in range(3)] + [x]
+        jax.block_until_ready(xvars)
+        ntt_dt = _timeit(lambda v: dom.ntt(v), xvars, iters=3)
+        butterflies = (n // 2) * LOG_N
+        ntt_rate = butterflies / ntt_dt
+        extras["ntt_butterflies_per_sec"] = round(ntt_rate, 1)
+        extras["ntt_mfu"] = round(ntt_rate / fr_peak, 4)
+        extras["ntt_seconds"] = round(ntt_dt, 4)
+
+    # ---- MSM at 2^LOG_N -------------------------------------------------
+    # point batch: k*G for random 30-bit k via the batched ladder
     ks = rng.integers(1, 1 << 30, size=n, dtype=np.int64)
     bits = ((ks[None, :] >> np.arange(30)[:, None]) & 1).astype(np.uint32)
     pts = G1.to_affine(
         G1.scalar_mul_bits(g1_generator_device(n), jnp.asarray(bits))
     )
-    # full-range 255-bit scalars (uniform mod r) — the real workload; small
-    # scalars would leave most windows empty and overstate throughput
+    # full-range 255-bit scalars (uniform mod r) — the real workload
     words = rng.integers(0, 1 << 62, size=(n, 5), dtype=np.int64)
     scalars_int = [
         (int(w[0]) | int(w[1]) << 62 | int(w[2]) << 124 | int(w[3]) << 186
@@ -44,34 +124,39 @@ def main():
         for w in words
     ]
     scalars = jnp.asarray(FR.encode(scalars_int))
-
+    impl = get_config().msm_impl
+    if impl == "v1":
+        msm_fn = _msm_impl
+    elif impl == "affine":
+        msm_fn = lambda *a: _msm_impl_v2(*a, affine=True)  # noqa: E731
+    else:
+        msm_fn = _msm_impl_v2
     run = jax.jit(
-        lambda x, y, inf, s: _msm_impl(G1, x, y, inf, FR.from_mont(s), c)
+        lambda x_, y_, i_, s_: msm_fn(G1, x_, y_, i_, FR.from_mont(s_), c)
     )
-
-    # warmup/compile
-    out = run(pts[0], pts[1], pts[2], scalars)
-    jax.block_until_ready(out)
-
-    # Each iteration uses DISTINCT scalars and every result is fetched to
-    # host: identical repeated executions can be served from a cache by the
-    # remote-device tunnel, which makes same-input timing loops report
-    # physically impossible rates.
-    iters = 5
-    variants = [jnp.roll(scalars, i + 1, axis=-1) for i in range(iters)]
-    jax.block_until_ready(variants)
-    t0 = time.perf_counter()
-    outs = [run(pts[0], pts[1], pts[2], s) for s in variants]
-    for o in outs:
-        np.asarray(o[0])
-    dt = (time.perf_counter() - t0) / iters
-
+    svars = [jnp.roll(scalars, i + 1, axis=-1) for i in range(ITERS)] + [scalars]
+    jax.block_until_ready((pts, svars))
+    dt = _timeit(lambda s: run(pts[0], pts[1], pts[2], s), svars)
     pps = n / dt
+
+    # roofline accounting: useful work = every point enters one bucket add
+    # per window. Jacobian mixed add (madd-2007-bl) = 7M + 4S = 11 Fp muls;
+    # the batched-affine variant ~6 (3 shared inversion-tree muls + slope,
+    # square, y3).
+    w_count = -(-255 // c)
+    mul_cost_madd = 6 if get_config().msm_impl == "affine" else 11
+    useful_muls = n * w_count * mul_cost_madd
+    extras["msm_seconds"] = round(dt, 3)
+    extras["msm_fp_muls_per_point"] = w_count * mul_cost_madd
+    if fp_peak:
+        extras["msm_mfu"] = round(useful_muls / dt / fp_peak, 4)
+
     print(json.dumps({
-        "metric": "g1_msm_points_per_sec_2e16",
+        "metric": f"g1_msm_points_per_sec_2e{LOG_N}",
         "value": round(pps, 1),
         "unit": "points/s",
         "vs_baseline": 1.0,
+        "extras": extras,
     }))
 
 

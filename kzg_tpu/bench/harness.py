@@ -3,9 +3,26 @@
 (2^10..2^24). Each bench compiles once, then times steady-state iterations
 with block_until_ready — the JAX analog of criterion's warmup+sampling.
 
+Timing is CACHE-SAFE: every iteration runs with DIFFERENT inputs and every
+result is fetched, because repeated executions with identical inputs can be
+served from a cache by the remote-device tunnel, producing physically
+impossible rates (the trap bench.py documents and avoids the same way).
+
+Reference bench-group parity (benches/*.rs):
+  fft        -> bench_fft/bench_ifft                (benches/fft.rs:15-36)
+  poly       -> add/mul_naive/mul_fft/long_division/interpolation
+                                                    (benches/poly_arithmetic.rs:16-68)
+  msm        -> no reference analog (blst-internal); the headline primitive
+  commit     -> commit/create_witness coeff form    (benches/commit_coeff_form.rs,
+                                                     benches/create_witness_coeff_form.rs)
+  eval_form  -> commit/create_witness eval form     (benches/commit_eval_form.rs,
+                                                     benches/create_witness_eval_form.rs)
+  verify     -> verify_poly/verify_eval coeff form  (benches/poly_verify_coeff_form.rs:17-45,
+                                                     benches/verify_eval_coeff_form.rs:18-53)
+
 Run:  python -m kzg_tpu.bench.harness [--sizes 16,64,256] [--json out.json]
       python -m kzg_tpu.bench.harness --group fft --sizes 1024
-Groups mirror the reference bench ids (benches/*.rs)."""
+"""
 
 import argparse
 import json
@@ -13,16 +30,23 @@ import time
 
 import numpy as np
 
+ITERS = 5
 
-def _timeit(fn, iters=5):
+
+def _timeit(fn, iters=ITERS):
+    """Time fn(i) for i = 1..iters after a warmup call fn(0).
+
+    fn MUST return different work per i (callers pass per-iteration input
+    variants); every result is synced so nothing is served from a stale
+    async handle or the tunnel's same-input cache."""
     import jax
 
-    out = fn()
+    out = fn(0)
     jax.block_until_ready(out)  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+    outs = [fn(1 + (i % iters)) for i in range(iters)]
+    for o in outs:
+        jax.block_until_ready(o)
     return (time.perf_counter() - t0) / iters
 
 
@@ -32,6 +56,17 @@ def _rand_scalars(rng, n):
     from ..constants import R
 
     return jnp.asarray(FR.encode([rng.randrange(R) for _ in range(n)]))
+
+
+def _scalar_variants(x, k=ITERS):
+    """k+1 distinct device copies (cyclic rolls) of a scalar batch, synced —
+    the per-iteration inputs that keep the tunnel cache out of the timing."""
+    import jax
+    import jax.numpy as jnp
+
+    vs = [jnp.roll(x, i, axis=-1) if i else x for i in range(k + 1)]
+    jax.block_until_ready(vs)
+    return vs
 
 
 def _rand_points(n, seed=42):
@@ -51,28 +86,41 @@ def bench_fft(sizes, rng, results):
     for n in sizes:
         exp = (n - 1).bit_length()
         dom = Domain(exp)
-        x = _rand_scalars(rng, dom.d)
-        results[f"fft/{dom.d}"] = _timeit(lambda: dom.ntt(x))
-        results[f"ifft/{dom.d}"] = _timeit(lambda: dom.intt(x))
+        xs = _scalar_variants(_rand_scalars(rng, dom.d))
+        results[f"fft/{dom.d}"] = _timeit(lambda i: dom.ntt(xs[i]))
+        results[f"ifft/{dom.d}"] = _timeit(lambda i: dom.intt(xs[i]))
 
 
 def bench_poly(sizes, rng, results):
     from ..poly import Polynomial, lagrange_interpolation
 
     for n in sizes:
-        a = Polynomial(_rand_scalars(rng, n))
-        b = Polynomial(_rand_scalars(rng, n))
-        results[f"poly_add/{n}"] = _timeit(lambda: (a + b).coeffs)
-        results[f"poly_mul_ntt/{n}"] = _timeit(lambda: a.best_mul(b).coeffs)
+        avs = _scalar_variants(_rand_scalars(rng, n))
+        bvs = _scalar_variants(_rand_scalars(rng, n))
+        polys_a = [Polynomial(a) for a in avs]
+        polys_b = [Polynomial(b) for b in bvs]
+        results[f"poly_add/{n}"] = _timeit(
+            lambda i: (polys_a[i] + polys_b[i]).coeffs
+        )
+        results[f"poly_mul_fft/{n}"] = _timeit(
+            lambda i: polys_a[i].best_mul(polys_b[i]).coeffs
+        )
+        if n <= 256:
+            # naive O(n^2) mul — the reference's bench_mul_naive comparison
+            # (poly_arithmetic.rs:28-38); kept small, it is the slow oracle
+            results[f"poly_mul_naive/{n}"] = _timeit(
+                lambda i: polys_a[i].naive_mul(polys_b[i]).coeffs
+            )
         if n <= 512:
+            divs = [Polynomial(v) for v in _scalar_variants(_rand_scalars(rng, n // 2))]
             results[f"poly_long_division/{n}"] = _timeit(
-                lambda: a.long_division(Polynomial(_rand_scalars(rng, n // 2)))[0].coeffs
+                lambda i: polys_a[i].long_division(divs[i])[0].coeffs
             )
         k = min(n, 64)
-        xs = _rand_scalars(rng, k)
-        ys = _rand_scalars(rng, k)
+        xvs = _scalar_variants(_rand_scalars(rng, k))
+        yvs = _scalar_variants(_rand_scalars(rng, k))
         results[f"interpolation/{k}"] = _timeit(
-            lambda: lagrange_interpolation(xs, ys).coeffs
+            lambda i: lagrange_interpolation(xvs[i], yvs[i]).coeffs
         )
 
 
@@ -84,10 +132,10 @@ def bench_msm(sizes, rng, results):
 
     for n in sizes:
         pts = _rand_points(n)
-        s = _rand_scalars(rng, n)
+        svs = _scalar_variants(_rand_scalars(rng, n))
         c = pick_window(n)
         run = jax.jit(lambda x, y, i, sc: _msm_impl(G1, x, y, i, FR.from_mont(sc), c))
-        dt = _timeit(lambda: run(pts[0], pts[1], pts[2], s))
+        dt = _timeit(lambda i: run(pts[0], pts[1], pts[2], svs[i]))
         results[f"msm_g1/{n}"] = dt
         results[f"msm_g1_points_per_sec/{n}"] = n / dt
 
@@ -99,12 +147,13 @@ def bench_commit(sizes, rng, results):
     for n in sizes:
         params = setup(69696969, n)
         prover = KZGProver(params)
-        poly = Polynomial(_rand_scalars(rng, n))
-        results[f"commit_coeff_form/{n}"] = _timeit(lambda: tuple(prover.commit(poly)))
-        x = rng.randrange(1 << 62)
-        y = poly.eval(x)
+        polys = [Polynomial(v) for v in _scalar_variants(_rand_scalars(rng, n))]
+        results[f"commit_coeff_form/{n}"] = _timeit(
+            lambda i: tuple(prover.commit(polys[i]))
+        )
+        pts = [(x := rng.randrange(1 << 62), polys[i].eval(x)) for i in range(ITERS + 1)]
         results[f"create_witness_coeff_form/{n}"] = _timeit(
-            lambda: tuple(prover.create_witness(poly, (x, y)))
+            lambda i: tuple(prover.create_witness(polys[i], pts[i]))
         )
 
 
@@ -118,10 +167,35 @@ def bench_eval_form(sizes, rng, results):
         params = setup(69696969, d)
         lag = compute_lagrange_basis_from_secret(69696969, exp)
         prover = KZGProverEvalForm(params, lag)
-        evals = _rand_scalars(rng, d)
-        results[f"commit_eval_form/{d}"] = _timeit(lambda: tuple(prover.commit(evals)))
+        evs = _scalar_variants(_rand_scalars(rng, d))
+        results[f"commit_eval_form/{d}"] = _timeit(lambda i: tuple(prover.commit(evs[i])))
         results[f"create_witness_eval_form/{d}"] = _timeit(
-            lambda: tuple(prover.create_witness(evals, 5))
+            lambda i: tuple(prover.create_witness(evs[i], 5))
+        )
+
+
+def bench_verify(sizes, rng, results):
+    """verify_poly + verify_eval, coefficient form (reference
+    poly_verify_coeff_form.rs:17-45, verify_eval_coeff_form.rs:18-53)."""
+    from ..kzg import setup, KZGProver, KZGVerifier
+    from ..poly import Polynomial
+
+    for n in sizes:
+        params = setup(69696969, n)
+        prover = KZGProver(params)
+        verifier = KZGVerifier(params)
+        polys = [Polynomial(v) for v in _scalar_variants(_rand_scalars(rng, n))]
+        commits = [prover.commit(p) for p in polys]
+        results[f"verify_poly_coeff_form/{n}"] = _timeit(
+            lambda i: verifier.verify_poly(commits[i], polys[i])
+        )
+        opens = []
+        for i in range(ITERS + 1):
+            x = rng.randrange(1 << 62)
+            y = polys[i].eval(x)
+            opens.append(((x, y), commits[i], prover.create_witness(polys[i], (x, y))))
+        results[f"verify_eval_coeff_form/{n}"] = _timeit(
+            lambda i: verifier.verify_eval(*opens[i])
         )
 
 
@@ -131,6 +205,7 @@ GROUPS = {
     "msm": bench_msm,
     "commit": bench_commit,
     "eval_form": bench_eval_form,
+    "verify": bench_verify,
 }
 
 

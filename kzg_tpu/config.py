@@ -1,0 +1,111 @@
+"""Typed runtime configuration.
+
+Replaces the scattered env vars (KZG_TPU_DEVICE_SETUP, KZG_TPU_SRS_CACHE_DIR)
+and hardcoded tunables (fixed-base window, MSM thresholds) with one small
+typed object — the config/flag subsystem SURVEY.md §5.6 calls for (the
+reference's analog is its Cargo feature set plus FFT_MUL_THRESHOLD,
+polynomial.rs:13; this framework has genuinely tunable mesh/kernel knobs so
+it gets a real config).
+
+Usage:
+    from kzg_tpu.config import get_config, configure
+    configure(pairing_engine="device", msm_window=14)
+    cfg = get_config()
+
+Env overrides (read once at import, for parity with round-1 behavior):
+    KZG_TPU_DEVICE_SETUP=1   -> setup_engine="device"
+    KZG_TPU_SRS_CACHE_DIR    -> srs_cache_dir
+    KZG_TPU_PAIRING_ENGINE   -> pairing_engine
+"""
+
+import os
+from dataclasses import dataclass, replace, fields as _dc_fields
+
+
+@dataclass(frozen=True)
+class KZGConfig:
+    # --- MSM -----------------------------------------------------------
+    # Pippenger window size; None = size heuristic (msm.pippenger.pick_window)
+    msm_window: int | None = None
+    # below this point count a batched double-and-add ladder beats bucketing
+    small_msm_threshold: int = 512
+    # bucket-accumulation implementation. "v1" = window-sequential Jacobian
+    # scan — MEASURED FASTEST on the bench chip (0.35s vs 1.07s at 2^16 for
+    # the alternatives, BENCH_r02): the per-window maxc trip count does
+    # ~16% less madd work than the all-windows maximum and its smaller
+    # per-step gathers lower better. "v2" = windows-in-lanes variant with a
+    # capped worst case + segmented-scan fallback; "affine" = v2 with
+    # batched-affine adds + per-step tree inversion (fewest field muls,
+    # most dependent launches). All three are differentially tested.
+    msm_impl: str = "v1"
+
+    # --- trusted setup -------------------------------------------------
+    # fixed-base window for the SRS ladders (table size = 2^w per window)
+    fixed_base_window: int = 8
+    # "auto": native host engine on CPU backends, device ladders on
+    # accelerators; "host"/"device" force one path
+    setup_engine: str = "auto"
+    # directory for the fixed-base table cache (None = repo-root .srs_cache)
+    srs_cache_dir: str | None = None
+
+    # --- polynomial layer ----------------------------------------------
+    # quotient length above which long division switches scan -> Newton
+    newton_div_threshold: int = 32
+    # point count at which multipoint evaluation switches direct -> tree
+    tree_eval_threshold: int = 64
+
+    # --- pairing / verification ----------------------------------------
+    # "auto": native C++ host engine, falling back to the Python oracle;
+    # "host": same; "device": run the pairing checks on the TPU
+    # (pairing/pairing.py); "oracle": force the pure-Python oracle
+    pairing_engine: str = "auto"
+
+    # --- mesh / distributed --------------------------------------------
+    # mesh shape for the sharded pipeline; None = 1-D mesh over all devices
+    mesh_shape: tuple | None = None
+    mesh_axis_names: tuple = ("shard",)
+
+    def validate(self):
+        if self.pairing_engine not in ("auto", "host", "device", "oracle"):
+            raise ValueError(f"bad pairing_engine {self.pairing_engine!r}")
+        if self.setup_engine not in ("auto", "host", "device"):
+            raise ValueError(f"bad setup_engine {self.setup_engine!r}")
+        if self.msm_window is not None and not (1 <= self.msm_window <= 20):
+            raise ValueError("msm_window must be in [1, 20]")
+        if self.msm_impl not in ("v1", "v2", "affine"):
+            raise ValueError(f"bad msm_impl {self.msm_impl!r}")
+        if not (2 <= self.fixed_base_window <= 16):
+            raise ValueError("fixed_base_window must be in [2, 16]")
+        return self
+
+
+def _from_env() -> KZGConfig:
+    cfg = KZGConfig()
+    if os.environ.get("KZG_TPU_DEVICE_SETUP"):
+        cfg = replace(cfg, setup_engine="device")
+    if os.environ.get("KZG_TPU_SRS_CACHE_DIR"):
+        cfg = replace(cfg, srs_cache_dir=os.environ["KZG_TPU_SRS_CACHE_DIR"])
+    if os.environ.get("KZG_TPU_PAIRING_ENGINE"):
+        cfg = replace(cfg, pairing_engine=os.environ["KZG_TPU_PAIRING_ENGINE"])
+    return cfg.validate()
+
+
+_config = _from_env()
+
+
+def get_config() -> KZGConfig:
+    return _config
+
+
+def set_config(cfg: KZGConfig) -> KZGConfig:
+    global _config
+    _config = cfg.validate()
+    return _config
+
+
+def configure(**kwargs) -> KZGConfig:
+    """Update selected fields of the global config (returns the new one)."""
+    bad = set(kwargs) - {f.name for f in _dc_fields(KZGConfig)}
+    if bad:
+        raise TypeError(f"unknown config fields: {sorted(bad)}")
+    return set_config(replace(_config, **kwargs))

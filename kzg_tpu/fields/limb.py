@@ -404,20 +404,35 @@ class LimbField:
         return self.sum_last(self.mul(a, b))
 
     def batch_inv(self, a):
-        """Vectorised inversion along the LAST axis via Montgomery's trick
-        (prefix/suffix products + one Fermat inverse). inv(0) = 0 elementwise.
+        """Vectorised inversion along the LAST axis via a pairwise product
+        tree (Montgomery's trick in tree form): up-sweep of pairwise
+        products (n mul-lanes), ONE Fermat inverse at the root, down-sweep
+        distributing inverses to children (2n mul-lanes). Total ~3n muls at
+        2·log n depth — vs 2n·log n for a prefix/suffix-scan formulation.
+        inv(0) = 0 elementwise.
 
         Replaces the reference's per-element blst `invert` calls (e.g.
         eval_form.rs:58-84 does O(d) scalar inversions per witness)."""
         zero_mask = self.is_zero(a)
         one = self.one(a.shape[1:])
         x = jnp.where(zero_mask[None], one, a)
-        prefix = self.prefix_mul(x)
-        suffix = self.prefix_mul(x, reverse=True)
-        total_inv = self.inv(prefix[..., -1:])
-        # shift prefix right / suffix left (fill with one at the boundary)
-        onecol = one[..., :1]
-        p_shift = jnp.concatenate([onecol, prefix[..., :-1]], axis=-1)
-        s_shift = jnp.concatenate([suffix[..., 1:], onecol], axis=-1)
-        inv = self.mul(self.mul(p_shift, jnp.broadcast_to(total_inv, a.shape)), s_shift)
+        n = x.shape[-1]
+        npow = 1 << max(0, (n - 1).bit_length())
+        if npow != n:
+            padshape = a.shape[:-1] + (npow - n,)
+            x = jnp.concatenate([x, self.one(padshape[1:])], axis=-1)
+        levels = [x]
+        while x.shape[-1] > 1:
+            x = self.mul(x[..., 0::2], x[..., 1::2])
+            levels.append(x)
+        inv = self.inv(x)  # root: (L, ..., 1)
+        for lev in levels[-2::-1]:
+            left = lev[..., 0::2]
+            right = lev[..., 1::2]
+            inv_left = self.mul(inv, right)
+            inv_right = self.mul(inv, left)
+            # interleave children back to this level's layout
+            stacked = jnp.stack([inv_left, inv_right], axis=-1)
+            inv = stacked.reshape(lev.shape)
+        inv = inv[..., :n]
         return jnp.where(zero_mask[None], self.zeros(a.shape[1:]), inv)

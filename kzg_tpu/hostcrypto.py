@@ -16,9 +16,13 @@ from . import native as _native
 NATIVE = _native.available()
 
 
-def multi_pairing_check(pairs) -> bool:
-    """True iff prod e(P_i, Q_i) == 1 (one shared final exponentiation)."""
-    if NATIVE:
+def multi_pairing_check(pairs, engine: str = "auto") -> bool:
+    """True iff prod e(P_i, Q_i) == 1 (one shared final exponentiation).
+
+    engine: "auto"/"host" = native C++ when available, else oracle;
+    "oracle" forces the pure-Python path (the "device" engine never reaches
+    this host dispatcher — the verifiers route it to kzg/engines.py)."""
+    if engine != "oracle" and NATIVE:
         return _native.pairing_check(pairs)
     return _oracle.multi_pairing_check(pairs)
 

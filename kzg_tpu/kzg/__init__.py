@@ -13,6 +13,8 @@ from .eval_form import (
     LagrangeSRS,
     compute_lagrange_basis,
     compute_lagrange_basis_from_secret,
+    compute_lagrange_basis_and_polynomials,
+    lagrange_polynomials,
 )
 
 __all__ = [
@@ -32,4 +34,6 @@ __all__ = [
     "LagrangeSRS",
     "compute_lagrange_basis",
     "compute_lagrange_basis_from_secret",
+    "compute_lagrange_basis_and_polynomials",
+    "lagrange_polynomials",
 ]

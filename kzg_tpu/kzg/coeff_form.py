@@ -118,14 +118,27 @@ class KZGProver:
 
 class KZGVerifier:
     """Stateless verifier borrowing the SRS (coeff_form.rs:114-183).
-    Pairing checks evaluate host-side over the oracle tower."""
 
-    def __init__(self, params: KZGParams):
+    Pairing checks run on the engine selected by config.pairing_engine (or
+    the per-verifier `engine` override): "auto"/"host" = native C++ engine
+    (oracle fallback) with four small points crossing the device boundary;
+    "device" = scalar muls, Miller loops and final exponentiation all
+    on-chip (kzg/engines.py); "oracle" = pure-Python host path."""
+
+    def __init__(self, params: KZGParams, engine: str | None = None):
         self.params = params
+        self.engine = engine
         # cache small host copies of g = gs[0], h = hs[0], h^s = hs[1]
         self._g = g1_from_device(tuple(t[..., 0:1] for t in params.gs))[0]
         self._h = g2_from_device(tuple(t[..., 0:1] for t in params.hs))[0]
         self._hs1 = g2_from_device(tuple(t[..., 1:2] for t in params.hs))[0]
+
+    def _engine(self) -> str:
+        if self.engine is not None:
+            return self.engine
+        from ..config import get_config
+
+        return get_config().pairing_engine
 
     def verify_poly(self, commitment, poly: Polynomial) -> bool:
         """Recommit and compare (coeff_form.rs:119-124)."""
@@ -136,12 +149,18 @@ class KZGVerifier:
     def verify_eval(self, point, commitment, witness) -> bool:
         """e(w, h^s / h^x) == e(C / g^y, h)  (coeff_form.rs:126-142)."""
         x, y = point
+        if self._engine() == "device":
+            from .engines import verify_eval_device
+
+            return verify_eval_device(self.params, x % R, y % R, commitment, witness)
         c_host = g1_from_device(tuple(t[..., None] for t in commitment))[0]
         w_host = g1_from_device(tuple(t[..., None] for t in witness))[0]
         s2 = ec_add(self._hs1, ec_neg(ec_mul(self._h, x % R)))  # h^(s - x)
         rhs_g1 = ec_add(c_host, ec_neg(ec_mul(self._g, y % R)))  # C - y*g
         # e(w, s2) * e(-(C - y g), h) == 1
-        return multi_pairing_check([(w_host, s2), (ec_neg(rhs_g1), self._h)])
+        return multi_pairing_check(
+            [(w_host, s2), (ec_neg(rhs_g1), self._h)], engine=self._engine()
+        )
 
     def verify_eval_batched(self, commitment, batch_witness: KZGBatchWitness, xs) -> bool:
         """e(w, h^Z) == e(C / g^r, h)  (coeff_form.rs:144-182)."""
@@ -152,9 +171,17 @@ class KZGVerifier:
         )
         r = batch_witness.r
         gr = msm_g1(_slice_srs(self.params.gs, r.num_coeffs()), r.trimmed())
+        if self._engine() == "device":
+            from .engines import verify_batched_device
+
+            return verify_batched_device(
+                self.params, commitment, batch_witness.w, hz, gr
+            )
         hz_host = g2_from_device(tuple(t[..., None] for t in hz))[0]
         gr_host = g1_from_device(tuple(t[..., None] for t in gr))[0]
         c_host = g1_from_device(tuple(t[..., None] for t in commitment))[0]
         w_host = g1_from_device(tuple(t[..., None] for t in batch_witness.w))[0]
         lhs_g1 = ec_add(c_host, ec_neg(gr_host))
-        return multi_pairing_check([(w_host, hz_host), (ec_neg(lhs_g1), self._h)])
+        return multi_pairing_check(
+            [(w_host, hz_host), (ec_neg(lhs_g1), self._h)], engine=self._engine()
+        )

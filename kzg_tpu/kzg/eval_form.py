@@ -33,7 +33,7 @@ from ..poly import Polynomial
 from ..oracle import ec_neg, ec_add, ec_mul
 from ..hostcrypto import multi_pairing_check
 from .errors import PolynomialDegreeTooLarge, PointNotOnPolynomial
-from .setup import KZGParams, _ladders_jit, FIXED_BASE_WINDOW
+from .setup import KZGParams, _ladders_jit, _fb_window
 
 
 @dataclass
@@ -144,6 +144,34 @@ def compute_lagrange_basis(params: KZGParams, exp: int) -> LagrangeSRS:
     return LagrangeSRS(lg=lg, lh=lh, exp=exp)
 
 
+@partial(jax.jit, static_argnums=0)
+def _lagrange_polynomials_jit(exp: int):
+    dom = Domain(exp)
+    d = dom.d
+    winv = jnp.asarray(FR.encode([pow(dom.omega, -1, R)]))
+    pw = FR.prefix_mul(jnp.broadcast_to(winv, (FR.L, d)))
+    winv_pows = jnp.concatenate([FR.one((1,)), pw[:, : d - 1]], axis=1)
+    idx = (np.arange(d)[:, None] * np.arange(d)[None, :]) % d  # (i*j) mod d
+    mat = jnp.take(winv_pows, jnp.asarray(idx), axis=1)  # (L, d, d)
+    dinv = jnp.asarray(FR.encode([pow(d, -1, R)]))
+    return FR.mul(mat, dinv[:, None])
+
+
+def lagrange_polynomials(exp: int):
+    """Coefficient arrays of ALL Lagrange basis polynomials over the 2^exp
+    domain as one (L, d, d) batch: [:, i, j] = coeff_j(L_i) = omega^{-ij}/d
+    (the inverse-DFT matrix). Closed form replacing the reference's explicit
+    O(d^2 M(d)) product construction (eval_form.rs:221-251)."""
+    return _lagrange_polynomials_jit(exp)
+
+
+def compute_lagrange_basis_and_polynomials(params: KZGParams, exp: int):
+    """Reference compute_lagrange_basis_and_polynomials (eval_form.rs:221-251):
+    the Lagrange SRS plus the L_i polynomials themselves (as the batched
+    coefficient array from lagrange_polynomials)."""
+    return compute_lagrange_basis(params, exp), lagrange_polynomials(exp)
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def _lagrange_scalars_jit(exp: int, c: int, s_mont):
     """L_i(s) = (s^d - 1) * omega^i / (d * (s - omega^i)) for all i."""
@@ -170,8 +198,9 @@ def compute_lagrange_basis_from_secret(s: int, exp: int) -> LagrangeSRS:
 
     if _host_engine_preferred():
         return _lagrange_basis_host(s, exp)
-    digits = _lagrange_scalars_jit(exp, FIXED_BASE_WINDOW, jnp.asarray(FR.encode([s % R])))
-    lg, lh = _ladders_jit(FIXED_BASE_WINDOW, digits)
+    w = _fb_window()
+    digits = _lagrange_scalars_jit(exp, w, jnp.asarray(FR.encode([s % R])))
+    lg, lh = _ladders_jit(w, digits)
     return LagrangeSRS(lg=lg, lh=lh, exp=exp)
 
 
@@ -272,15 +301,25 @@ class KZGProverEvalForm:
 
 
 class KZGVerifierEvalForm:
-    """Reference eval_form.rs:149-218."""
+    """Reference eval_form.rs:149-218. Pairing engine selection as in
+    KZGVerifier (config.pairing_engine or the per-verifier override)."""
 
-    def __init__(self, params: KZGParams, lagrange: LagrangeSRS):
+    def __init__(self, params: KZGParams, lagrange: LagrangeSRS,
+                 engine: str | None = None):
         self.params = params
         self.lagrange = lagrange
+        self.engine = engine
         self.dom = Domain(lagrange.exp)
         self._g = g1_from_device(tuple(t[..., 0:1] for t in params.gs))[0]
         self._h = g2_from_device(tuple(t[..., 0:1] for t in params.hs))[0]
         self._hs1 = g2_from_device(tuple(t[..., 1:2] for t in params.hs))[0]
+
+    def _engine(self) -> str:
+        if self.engine is not None:
+            return self.engine
+        from ..config import get_config
+
+        return get_config().pairing_engine
 
     def verify_poly(self, commitment, evals) -> bool:
         """iNTT to coefficients, recommit against the monomial SRS
@@ -293,11 +332,17 @@ class KZGVerifierEvalForm:
         """Pairing check at x = omega^i (eval_form.rs:173-190)."""
         i, y = point
         x = pow(self.dom.omega, i, R)
+        if self._engine() == "device":
+            from .engines import verify_eval_device
+
+            return verify_eval_device(self.params, x, y % R, commitment, witness)
         c_host = g1_from_device(tuple(t[..., None] for t in commitment))[0]
         w_host = g1_from_device(tuple(t[..., None] for t in witness))[0]
         s2 = ec_add(self._hs1, ec_neg(ec_mul(self._h, x)))
         rhs_g1 = ec_add(c_host, ec_neg(ec_mul(self._g, y % R)))
-        return multi_pairing_check([(w_host, s2), (ec_neg(rhs_g1), self._h)])
+        return multi_pairing_check(
+            [(w_host, s2), (ec_neg(rhs_g1), self._h)], engine=self._engine()
+        )
 
     def verify_eval_all(self, commitment, witness: KZGBatchWitnessEvalForm) -> bool:
         """Batched all-points check (eval_form.rs:193-218). With the identity
@@ -311,9 +356,15 @@ class KZGVerifierEvalForm:
         z = z.at[:, 0].set(neg_one).at[:, d - 1].set(FR.one(()))
         hz = msm_g2(self.lagrange.lh, z)
         gr = msm_g1(self.lagrange.lg, witness.r)
+        if self._engine() == "device":
+            from .engines import verify_batched_device
+
+            return verify_batched_device(self.params, commitment, witness.w, hz, gr)
         hz_host = g2_from_device(tuple(t[..., None] for t in hz))[0]
         gr_host = g1_from_device(tuple(t[..., None] for t in gr))[0]
         c_host = g1_from_device(tuple(t[..., None] for t in commitment))[0]
         w_host = g1_from_device(tuple(t[..., None] for t in witness.w))[0]
         lhs_g1 = ec_add(c_host, ec_neg(gr_host))
-        return multi_pairing_check([(w_host, hz_host), (ec_neg(lhs_g1), self._h)])
+        return multi_pairing_check(
+            [(w_host, hz_host), (ec_neg(lhs_g1), self._h)], engine=self._engine()
+        )

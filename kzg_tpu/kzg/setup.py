@@ -27,6 +27,13 @@ from ..fields import FR
 from ..curve import G1, G2, g1_generator_device, g2_generator_device
 from ..msm.pippenger import _digits
 
+def _fb_window() -> int:
+    from ..config import get_config
+
+    return get_config().fixed_base_window
+
+
+# kept as the historical default; the live value comes from config
 FIXED_BASE_WINDOW = 8
 
 
@@ -116,11 +123,11 @@ _TABLE_CACHE = {}
 
 
 def _table_cache_path(c: int, w_count: int) -> str:
-    d = os.environ.get(
-        "KZG_TPU_SRS_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".srs_cache"),
-    )
+    from ..config import get_config
+
+    d = get_config().srs_cache_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".srs_cache")
     return os.path.join(d, f"fixed_base_c{c}_w{w_count}.npz")
 
 
@@ -131,29 +138,145 @@ def _tables_jit(c: int, w_count: int):
     return t1, t2
 
 
+def _mont_point_int(x_limbs) -> int:
+    """Host-side Montgomery Fp limbs (L,) -> standard integer."""
+    from ..constants import P
+    from ..fields import FP
+
+    v = 0
+    for i in range(FP.L):
+        v |= int(x_limbs[i]) << (LIMB_BITS * i)
+    return v * pow(FP.mont_r, -1, P) % P
+
+
+def _validate_tables(t1, t2, c: int, w_count: int) -> bool:
+    """Integrity check for disk-loaded fixed-base tables: every downstream
+    SRS derives from these, so a stale/corrupt/tampered cache blob would
+    silently produce a wrong SRS. Verifies shapes, the d == 0 infinity
+    column (z == 0), and spot-checks sampled Jacobian entries
+    T[w][d] == (d<<cw)*G against the pure-Python oracle — all host-side
+    integer math, no device compile."""
+    from ..fields import FP
+    from ..oracle import g1_generator, g2_generator, ec_mul
+    from ..oracle.field import Fp as OFp, Fp2 as OFp2
+
+    b = 1 << c
+    try:
+        t1_np = tuple(np.asarray(t) for t in t1)
+        t2_np = tuple(np.asarray(t) for t in t2)
+        for t in t1_np:
+            if t.shape != (FP.L, w_count, b):
+                return False
+        for t in t2_np:
+            if t.shape != (FP.L, 2, w_count, b):
+                return False
+        # d == 0 column must be infinity (z == 0), nothing else may be
+        if t1_np[2][:, :, 0].any() or t2_np[2][:, :, :, 0].any():
+            return False
+        if (~t1_np[2][:, :, 1:].any(axis=0)).any():
+            return False
+
+        def g1_entry(w, d):
+            x = OFp(_mont_point_int(t1_np[0][:, w, d]))
+            y = OFp(_mont_point_int(t1_np[1][:, w, d]))
+            z = OFp(_mont_point_int(t1_np[2][:, w, d]))
+            zi = z.inv()
+            zi2 = zi.square()
+            return (x * zi2, y * (zi2 * zi))
+
+        def g2_entry(w, d):
+            def f2(arr):
+                return OFp2(
+                    OFp(_mont_point_int(arr[:, 0, w, d])),
+                    OFp(_mont_point_int(arr[:, 1, w, d])),
+                )
+
+            x, y, z = f2(t2_np[0]), f2(t2_np[1]), f2(t2_np[2])
+            zi = z.inv()
+            zi2 = zi.square()
+            return (x * zi2, y * (zi2 * zi))
+
+        # expected values via the native engine when available (ms), else the
+        # pure-Python oracle (seconds); scalars reduced mod r — same point
+        from .. import native
+
+        if native.available():
+            mul1 = lambda k: native.g1_mul(g1_generator(), k)  # noqa: E731
+            mul2 = lambda k: native.g2_mul(g2_generator(), k)  # noqa: E731
+        else:
+            mul1 = lambda k: ec_mul(g1_generator(), k)  # noqa: E731
+            mul2 = lambda k: ec_mul(g2_generator(), k)  # noqa: E731
+        samples = {(0, 1), (w_count - 1, b - 1), (w_count // 2, min(3, b - 1))}
+        for w, d in samples:
+            k = (d << (c * w)) % R
+            if g1_entry(w, d) != mul1(k):
+                return False
+            if g2_entry(w, d) != mul2(k):
+                return False
+        return True
+    except Exception:  # noqa: BLE001 - malformed blob == invalid
+        return False
+
+
+def _tables_digest(t1, t2) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for t in (*t1, *t2):
+        h.update(np.ascontiguousarray(np.asarray(t)).tobytes())
+    return h.hexdigest()
+
+
 def fixed_base_tables(c: int, w_count: int):
     """The G1/G2 fixed-base window tables T[w][d] = (d << cw) * G.
 
     These depend only on the curve GENERATORS (not the secret), so they are
     computed once and disk-cached (~7 MB): rebuilding costs minutes of
-    device math. Delete the .srs_cache file to force a rebuild; the slow
-    setup-parity test validates the table path against the oracle."""
+    device math. Loaded blobs are integrity-checked against the oracle
+    (generator entry + sampled (d<<cw)*G entries) and rebuilt when invalid;
+    the slow setup-parity test validates the table path end to end."""
     key = (c, w_count)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     path = _table_cache_path(c, w_count)
+    loaded = False
     if os.path.exists(path):
-        z = np.load(path)
-        t1 = tuple(jnp.asarray(z[f"t1_{i}"]) for i in range(3))
-        t2 = tuple(jnp.asarray(z[f"t2_{i}"]) for i in range(3))
-    else:
+        try:
+            z = np.load(path)
+            # validate on the HOST copies before any jnp.asarray: the digest
+            # and spot checks must not round-trip 7 MB through the device
+            t1_np = tuple(z[f"t1_{i}"] for i in range(3))
+            t2_np = tuple(z[f"t2_{i}"] for i in range(3))
+            # content hash catches any corruption (bit flips anywhere); the
+            # sampled oracle checks catch a recomputed-but-wrong blob
+            if "digest" in z.files and str(z["digest"]) != _tables_digest(t1_np, t2_np):
+                loaded = False
+            else:
+                loaded = _validate_tables(t1_np, t2_np, c, w_count)
+            if loaded:
+                t1 = tuple(jnp.asarray(t) for t in t1_np)
+                t2 = tuple(jnp.asarray(t) for t in t2_np)
+        except Exception:  # noqa: BLE001 - unreadable blob -> rebuild
+            loaded = False
+        if not loaded:
+            import warnings
+
+            warnings.warn(
+                f"fixed-base table cache {path} failed integrity validation; "
+                "rebuilding",
+                stacklevel=2,
+            )
+    if not loaded:
         t1, t2 = _tables_jit(c, w_count)
         jax.block_until_ready((t1, t2))
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        t1_np = tuple(np.asarray(t) for t in t1)  # single device fetch
+        t2_np = tuple(np.asarray(t) for t in t2)
         np.savez(
             path,
-            **{f"t1_{i}": np.asarray(t) for i, t in enumerate(t1)},
-            **{f"t2_{i}": np.asarray(t) for i, t in enumerate(t2)},
+            **{f"t1_{i}": t for i, t in enumerate(t1_np)},
+            **{f"t2_{i}": t for i, t in enumerate(t2_np)},
+            digest=_tables_digest(t1_np, t2_np),
         )
     _TABLE_CACHE[key] = (t1, t2)
     return t1, t2
@@ -231,8 +354,9 @@ def setup_device(s: int, num_coeffs: int) -> KZGParams:
     """Accelerator-path SRS build: log-depth power scan + fixed-base
     windowed ladders (see module docstring)."""
     s_mont = jnp.asarray(FR.encode([s % R]))
-    digits = _setup_digits_jit(num_coeffs, FIXED_BASE_WINDOW, s_mont)
-    gs, hs = _ladders_jit(FIXED_BASE_WINDOW, digits)
+    w = _fb_window()
+    digits = _setup_digits_jit(num_coeffs, w, s_mont)
+    gs, hs = _ladders_jit(w, digits)
     return KZGParams(gs=gs, hs=hs, n=num_coeffs)
 
 

@@ -34,10 +34,15 @@ from ..curve import G1, G2
 
 
 def pick_window(n: int) -> int:
-    """Window size heuristic: bucket count ~ N/8, clamped to [2, 16]."""
+    """Window size heuristic: bucket count ~ N/64, clamped to [2, 16].
+
+    Swept on the bench chip at 2^16 (BENCH_r02 A/B runs): points/s peaked
+    at c = log2(n) - 6 (254k at c=10 vs 189k at the round-1 heuristic's
+    c=13 and 80k at c=16) — deeper bucket loops but far cheaper weighted
+    reductions and wider mean bucket occupancy."""
     if n <= 16:
         return 2
-    return max(2, min(16, int(math.log2(n)) - 3))
+    return max(2, min(16, int(math.log2(n)) - 6))
 
 
 # Below this size the bucket method's fixed costs (per-window sort + digit
@@ -185,8 +190,10 @@ def weighted_bucket_sum(curve, buckets):
 
 
 def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
+    from ..config import get_config
+
     n = xa.shape[-1]
-    if n < SMALL_MSM_THRESHOLD:
+    if n < get_config().small_msm_threshold:
         return _msm_small(curve, xa, ya, inf, scalars_std)
     elem_shape = xa.shape[:-1]  # (L,) for G1, (L, 2) for G2
     digits = _digits(scalars_std, c)  # (W, N)
@@ -199,6 +206,14 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
         [xa.reshape(K, n), ya.reshape(K, n), inf[None].astype(xa.dtype)],
         axis=0,
     )
+
+    # static trip cap for the data-dependent bucket loop: ~4x the mean load
+    # + slack. Random digit histograms stay far below it; adversarially
+    # skewed digits (e.g. all-equal scalars) would otherwise degrade to
+    # O(N) sequential adds, so past the cap the window falls back to a
+    # segmented-scan bucket sum with guaranteed O(log N) depth.
+    cap = 4 * (n // buckets + 1) + 64
+    idx_n = jnp.arange(n)
 
     def window(carry, dw):
         order = jnp.argsort(dw)
@@ -220,14 +235,233 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
             skip = jnp.logical_or(~valid, qinf)
             return curve.madd(acc, (qx, qy), skip)
 
+        def bucket_loop(_):
+            return jax.lax.fori_loop(0, maxc, kbody, acc0)
+
+        def segscan(_):
+            px = sp[:K].reshape(elem_shape + (n,))
+            py = sp[K: 2 * K].reshape(elem_shape + (n,))
+            live = jnp.logical_and(ds > 0, sp[2 * K] == 0)
+            z = jnp.where(
+                curve.fa.expand(live), curve.fa.one((n,)), curve.fa.zeros((n,))
+            )
+            p = (px, py, z)
+            rounds = max(1, (n - 1).bit_length())
+
+            def rbody(r, p):
+                s = jnp.left_shift(1, r)
+                shifted = tuple(jnp.roll(t, -s, axis=-1) for t in p)
+                same = jnp.logical_and(ds == jnp.roll(ds, -s), idx_n < n - s)
+                return curve.select(same, curve.add(p, shifted), p)
+
+            p = jax.lax.fori_loop(0, rounds, rbody, p)
+            safe_start = jnp.clip(start, 0, n - 1)
+            out = tuple(jnp.take(t, safe_start, axis=-1) for t in p)
+            # empty buckets must be infinity
+            zfix = jnp.where(
+                curve.fa.expand(count == 0),
+                curve.fa.zeros((buckets,)),
+                out[2],
+            )
+            return (out[0], out[1], zfix)
+
         # buckets are NOT reduced here: the scan returns all windows'
         # bucket arrays so the (launch-heavy) weighted reduction runs ONCE,
         # batched across the window axis
-        return carry, jax.lax.fori_loop(0, maxc, kbody, acc0)
+        return carry, jax.lax.cond(maxc <= cap, bucket_loop, segscan, None)
 
     _, acc_all = jax.lax.scan(window, None, digits)  # leaves: (W, *elem, B)
     acc_b = tuple(jnp.moveaxis(t, 0, -2) for t in acc_all)  # (*elem, W, B)
     s_all = weighted_bucket_sum(curve, acc_b)  # (*elem, W) points
+
+    def join(i, acc):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
+        s_w = tuple(t[..., w_count - 1 - i] for t in s_all)
+        return curve.add(acc, s_w)
+
+    return jax.lax.fori_loop(0, w_count, join, curve.infinity(()))
+
+
+# ---------------------------------------------------------------------------
+# v2 bucket accumulation: all windows in lanes + batched-affine adds
+# ---------------------------------------------------------------------------
+
+
+def _affine_madd_batch(curve, acc, pt, skip):
+    """Batched-affine accumulate acc += pt over arbitrary lanes.
+
+    acc = (x, y, inf) affine accumulator; pt = (x, y) affine points
+    (callers mask infinity/padding via `skip`). ONE batched inversion (tree
+    form, fields.batch_inv) serves every lane: slope denominators are
+    inverted together, so a lane costs ~6 field muls vs the Jacobian mixed
+    add's 11 — the classic batch-affine Pippenger trick, SIMD-shaped.
+    Doubling (acc == pt) takes the tangent slope via selects; opposite
+    points yield infinity. (No 2-torsion on BLS12-381 — |E| is odd — so
+    y == 0 tangents cannot occur.)"""
+    f = curve.fa
+    ax, ay, ainf = acc
+    px, py = pt
+    e = f.expand
+    dx = f.sub(px, ax)
+    dy = f.sub(py, ay)
+    dx0 = f.is_zero(dx)
+    dbl = jnp.logical_and(dx0, f.is_zero(dy))
+    opp = jnp.logical_and(dx0, ~dbl)
+    x2 = f.sqr(ax)
+    num = jnp.where(e(dbl), f.add(f.add(x2, x2), x2), dy)  # 3x^2 | dy
+    den = jnp.where(e(dbl), f.add(ay, ay), dx)             # 2y   | dx
+    degenerate = jnp.logical_or(jnp.logical_or(skip, ainf), opp)
+    den_safe = jnp.where(e(degenerate), f.one(skip.shape), den)
+    dinv = f.batch_inv(den_safe)
+    lam = f.mul(num, dinv)
+    x3 = f.sub(f.sub(f.sqr(lam), ax), px)
+    y3 = f.sub(f.mul(lam, f.sub(ax, x3)), ay)
+    out_x = jnp.where(e(skip), ax, jnp.where(e(ainf), px, x3))
+    out_y = jnp.where(e(skip), ay, jnp.where(e(ainf), py, y3))
+    out_inf = jnp.where(skip, ainf, jnp.where(ainf, False, opp))
+    return (out_x, out_y, out_inf)
+
+
+def _affine_to_jac(curve, acc):
+    """(x, y, inf) affine batch -> Jacobian tuple (z = 0 at infinity)."""
+    f = curve.fa
+    x, y, inf = acc
+    z = jnp.where(f.expand(inf), f.zeros(inf.shape), f.one(inf.shape))
+    return (x, y, z)
+
+
+def _msm_impl_v2(curve, xa, ya, inf, scalars_std, c: int,
+                 affine: bool = False):
+    """v2 bucket accumulation. Differences from _msm_impl:
+
+      * ALL windows live in lanes (one (W, B) bucket matrix) instead of a
+        sequential lax.scan over windows — W x fewer sequential steps, each
+        W x wider (launch/dispatch-bound hardware loves this);
+      * the data-dependent inner trip count is CAPPED: if the fullest
+        bucket exceeds cap (adversarially skewed digits; random scalars
+        stay well under it), the whole accumulation falls back to a
+        segmented-scan formulation with guaranteed O(log n) depth per
+        window — the worst case is bounded, not O(n) serial;
+      * affine=True accumulates buckets in AFFINE form with one batched
+        tree inversion per step (~6 field muls/lane vs 11 for Jacobian
+        mixed adds). Less arithmetic, but each step becomes ~2 log B
+        dependent kernel launches for the inversion tree — measured SLOWER
+        on the launch-bound bench chip, kept selectable (config
+        msm_impl="affine") for hardware where fusion amortises launches.
+    """
+    n = xa.shape[-1]
+    from ..config import get_config
+
+    if n < get_config().small_msm_threshold:
+        return _msm_small(curve, xa, ya, inf, scalars_std)
+    elem_shape = xa.shape[:-1]
+    K = int(np.prod(elem_shape))
+    digits = _digits(scalars_std, c)  # (W, N)
+    w_count = digits.shape[0]
+    buckets = 1 << c
+    # infinity points contribute nothing: force their digits to bucket 0
+    digits = jnp.where(inf[None], 0, digits)
+    order = jnp.argsort(digits, axis=-1)
+    ds = jnp.take_along_axis(digits, order, axis=-1)
+    bucket_ids = jnp.arange(buckets, dtype=jnp.int32)
+    start = jax.vmap(
+        lambda row: jnp.searchsorted(row, bucket_ids, side="left")
+    )(ds).astype(jnp.int32)
+    end = jax.vmap(
+        lambda row: jnp.searchsorted(row, bucket_ids, side="right")
+    )(ds).astype(jnp.int32)
+    count = (end - start).at[:, 0].set(0)  # bucket 0 contributes nothing
+    maxc = jnp.max(count)
+    stacked = jnp.concatenate([xa.reshape(K, n), ya.reshape(K, n)], axis=0)
+
+    wb = (w_count, buckets)
+
+    def gather_step(k):
+        pos = jnp.clip(start + k, 0, n - 1)  # (W, B)
+        valid = k < count
+        oi = jnp.take_along_axis(order, pos, axis=-1)  # (W, B) original idx
+        g = jnp.take(stacked, oi, axis=-1)  # (2K, W, B)
+        qx = g[:K].reshape(elem_shape + wb)
+        qy = g[K:].reshape(elem_shape + wb)
+        return (qx, qy), ~valid
+
+    if affine:
+        acc0 = (curve.fa.zeros(wb), curve.fa.zeros(wb), jnp.ones(wb, bool))
+
+        def kbody(k, acc):
+            q, skip = gather_step(k)
+            return _affine_madd_batch(curve, acc, q, skip)
+    else:
+        acc0 = curve.infinity(wb)
+
+        def kbody(k, acc):
+            q, skip = gather_step(k)
+            return curve.madd(acc, q, skip)  # fused Pallas mixed add
+
+    # static trip cap: ~4x the mean load + slack; random digit histograms
+    # stay far below it (mean n/B, max ~ mean + O(sqrt(mean log B)))
+    cap = 4 * (n // buckets + 1) + 64
+
+    def bucket_path(_):
+        acc = jax.lax.fori_loop(0, maxc, kbody, acc0)
+        return _affine_to_jac(curve, acc) if affine else acc
+
+    def segscan_path(_):
+        # robust fallback: per window (sequential scan over W), a segmented
+        # suffix sum over the sorted point sequence — log2(n) rounds of
+        # masked Jacobian adds, immune to bucket skew
+        idx = jnp.arange(n)
+
+        def wbody(carry, inputs):
+            ds_w, order_w = inputs
+            sp = jnp.take(stacked, order_w, axis=-1)  # (2K, N) sorted pts
+            px = sp[:K].reshape(elem_shape + (n,))
+            py = sp[K:].reshape(elem_shape + (n,))
+            z = jnp.where(
+                curve.fa.expand(ds_w > 0),
+                curve.fa.one((n,)),
+                curve.fa.zeros((n,)),
+            )
+            p = (px, py, z)
+            rounds = max(1, (n - 1).bit_length())
+
+            def rbody(r, p):
+                s = jnp.left_shift(1, r)
+                shifted = tuple(jnp.roll(t, -s, axis=-1) for t in p)
+                same = jnp.logical_and(
+                    ds_w == jnp.roll(ds_w, -s), idx < n - s
+                )
+                added = curve.add(p, shifted)
+                return curve.select(same, added, p)
+
+            p = jax.lax.fori_loop(0, rounds, rbody, p)
+            # bucket sums sit at each bucket's start position
+            return carry, p
+
+        # start positions differ per window; gather after the scan
+        _, summed = jax.lax.scan(wbody, None, (ds, order))
+        # summed leaves: (W, *elem, N); gather each window's bucket starts
+        def gather_buckets(t):
+            t = jnp.moveaxis(t, 0, -2)  # (*elem, W, N)
+            return jnp.take_along_axis(
+                t,
+                jnp.broadcast_to(
+                    jnp.clip(start, 0, n - 1), t.shape[:-1] + (buckets,)
+                ),
+                axis=-1,
+            )
+
+        jac = tuple(gather_buckets(t) for t in summed)
+        # empty buckets (count == 0) must be infinity
+        emptym = count == 0
+        zfix = jnp.where(
+            curve.fa.expand(emptym), curve.fa.zeros(wb), jac[2]
+        )
+        return (jac[0], jac[1], zfix)
+
+    acc_jac = jax.lax.cond(maxc <= cap, bucket_path, segscan_path, None)
+    # acc_jac: (*elem, W, B) Jacobian buckets
+    s_all = weighted_bucket_sum(curve, acc_jac)  # (*elem, W) points
 
     def join(i, acc):
         acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
@@ -244,16 +478,28 @@ def msm(curve, points, scalars_mont, c: int | None = None):
     """MSM over a generic curve: points = (x, y, inf_mask) affine batch,
     scalars in Montgomery form (converted to standard form internally).
     Returns a single Jacobian point (batch shape ())."""
+    from ..config import get_config
+
+    cfg = get_config()
     n = points[0].shape[-1]
     if c is None:
-        c = pick_window(n)
-    key = (id(curve), c)
+        c = cfg.msm_window or pick_window(n)
+    if cfg.msm_impl == "v1":
+        impl = _msm_impl
+    elif cfg.msm_impl == "affine":
+        impl = partial(_msm_impl_v2, affine=True)
+    else:
+        impl = _msm_impl_v2
+    # key by curve NAME, not id(): id() of a collected object can be reused,
+    # which would be a latent wrong-curve cache hit. The threshold is part
+    # of the key because it is baked in at trace time.
+    key = (curve.name, c, cfg.msm_impl, cfg.small_msm_threshold)
     if key not in _jitted:
         cur = curve
 
         @partial(jax.jit, static_argnums=4)
         def run(xa, ya, inf, s_mont, cc):
-            return _msm_impl(cur, xa, ya, inf, FR.from_mont(s_mont), cc)
+            return impl(cur, xa, ya, inf, FR.from_mont(s_mont), cc)
 
         _jitted[key] = run
     return _jitted[key](points[0], points[1], points[2], scalars_mont, c)

@@ -50,8 +50,10 @@ def _load():
         if _lib is not None or _build_error is not None:
             return _lib
         try:
-            if not os.path.exists(_SO_PATH):
-                _build()
+            # Always invoke make: it is a no-op when the .so is newer than the
+            # source, and rebuilds after edits to kzg_native.cc (gating on the
+            # .so's existence silently kept loading stale binaries).
+            _build()
             lib = ctypes.CDLL(_SO_PATH)
         except Exception as e:  # noqa: BLE001 - any failure means "unavailable"
             _build_error = e
@@ -59,6 +61,15 @@ def _load():
         lib.kzgn_version.restype = ctypes.c_int
         _lib = lib
         return _lib
+
+
+def _require():
+    """_load() that raises a meaningful NativeError when the engine is
+    unavailable (instead of letting wrappers crash on a None lib)."""
+    lib = _load()
+    if lib is None:
+        raise NativeError(f"native engine unavailable: {_build_error!r}")
+    return lib
 
 
 def available() -> bool:
@@ -127,7 +138,7 @@ def _check(rc: int, what: str):
 
 def g1_msm(points, scalars):
     """MSM over oracle G1 points with integer scalars (host native path)."""
-    lib = _load()
+    lib = _require()
     n = len(points)
     pts = bytearray()
     infs = bytearray()
@@ -147,7 +158,7 @@ def g1_msm(points, scalars):
 
 
 def g2_msm(points, scalars):
-    lib = _load()
+    lib = _require()
     n = len(points)
     pts = bytearray()
     infs = bytearray()
@@ -167,7 +178,7 @@ def g2_msm(points, scalars):
 
 
 def g1_mul(p, k: int):
-    lib = _load()
+    lib = _require()
     raw, inf = _g1_to_raw(p)
     out = ctypes.create_string_buffer(96)
     out_inf = ctypes.c_uint8()
@@ -177,7 +188,7 @@ def g1_mul(p, k: int):
 
 
 def g2_mul(p, k: int):
-    lib = _load()
+    lib = _require()
     raw, inf = _g2_to_raw(p)
     out = ctypes.create_string_buffer(192)
     out_inf = ctypes.c_uint8()
@@ -187,7 +198,7 @@ def g2_mul(p, k: int):
 
 
 def g1_add(a, b):
-    lib = _load()
+    lib = _require()
     ra, ia = _g1_to_raw(a)
     rb, ib = _g1_to_raw(b)
     out = ctypes.create_string_buffer(96)
@@ -197,7 +208,7 @@ def g1_add(a, b):
 
 
 def g2_add(a, b):
-    lib = _load()
+    lib = _require()
     ra, ia = _g2_to_raw(a)
     rb, ib = _g2_to_raw(b)
     out = ctypes.create_string_buffer(192)
@@ -208,7 +219,7 @@ def g2_add(a, b):
 
 def g1_powers(base, s: int, n: int):
     """[base * s^i for i in range(n)] — native SRS ladder (lib.rs:38-55)."""
-    lib = _load()
+    lib = _require()
     raw, inf = _g1_to_raw(base)
     if inf:
         raise NativeError("g1_powers base must not be infinity")
@@ -219,7 +230,7 @@ def g1_powers(base, s: int, n: int):
 
 
 def g2_powers(base, s: int, n: int):
-    lib = _load()
+    lib = _require()
     raw, inf = _g2_to_raw(base)
     if inf:
         raise NativeError("g2_powers base must not be infinity")
@@ -230,7 +241,7 @@ def g2_powers(base, s: int, n: int):
 
 
 def g1_compress(p) -> bytes:
-    lib = _load()
+    lib = _require()
     raw, inf = _g1_to_raw(p)
     out = ctypes.create_string_buffer(48)
     _check(lib.kzgn_g1_compress(raw, inf, out), "g1_compress")
@@ -238,7 +249,7 @@ def g1_compress(p) -> bytes:
 
 
 def g1_decompress(b: bytes, subgroup_check: bool = True):
-    lib = _load()
+    lib = _require()
     out = ctypes.create_string_buffer(96)
     out_inf = ctypes.c_uint8()
     _check(lib.kzgn_g1_decompress(bytes(b), out, ctypes.byref(out_inf),
@@ -248,7 +259,7 @@ def g1_decompress(b: bytes, subgroup_check: bool = True):
 
 
 def g2_compress(p) -> bytes:
-    lib = _load()
+    lib = _require()
     raw, inf = _g2_to_raw(p)
     out = ctypes.create_string_buffer(96)
     _check(lib.kzgn_g2_compress(raw, inf, out), "g2_compress")
@@ -256,7 +267,7 @@ def g2_compress(p) -> bytes:
 
 
 def g2_decompress(b: bytes, subgroup_check: bool = True):
-    lib = _load()
+    lib = _require()
     out = ctypes.create_string_buffer(192)
     out_inf = ctypes.c_uint8()
     _check(lib.kzgn_g2_decompress(bytes(b), out, ctypes.byref(out_inf),
@@ -267,7 +278,7 @@ def g2_decompress(b: bytes, subgroup_check: bool = True):
 
 def pairing_check(pairs) -> bool:
     """True iff prod e(P_i, Q_i) == 1 (shares one final exponentiation)."""
-    lib = _load()
+    lib = _require()
     n = len(pairs)
     g1s = bytearray()
     g1infs = bytearray()
@@ -292,7 +303,7 @@ def pairing(p, q):
     """Full Gt value as an oracle Fp12 (for equality tests vs the oracle)."""
     from ..oracle.field import Fp6, Fp12
 
-    lib = _load()
+    lib = _require()
     raw1, i1 = _g1_to_raw(p)
     raw2, i2 = _g2_to_raw(q)
     out = ctypes.create_string_buffer(576)
@@ -308,24 +319,24 @@ def pairing(p, q):
 
 
 def g1_on_curve(p) -> bool:
-    lib = _load()
+    lib = _require()
     raw, inf = _g1_to_raw(p)
     return _check(lib.kzgn_g1_on_curve(raw, inf), "g1_on_curve") == 1
 
 
 def g2_on_curve(p) -> bool:
-    lib = _load()
+    lib = _require()
     raw, inf = _g2_to_raw(p)
     return _check(lib.kzgn_g2_on_curve(raw, inf), "g2_on_curve") == 1
 
 
 def g1_in_subgroup(p) -> bool:
-    lib = _load()
+    lib = _require()
     raw, inf = _g1_to_raw(p)
     return _check(lib.kzgn_g1_in_subgroup(raw, inf), "g1_in_subgroup") == 1
 
 
 def g2_in_subgroup(p) -> bool:
-    lib = _load()
+    lib = _require()
     raw, inf = _g2_to_raw(p)
     return _check(lib.kzgn_g2_in_subgroup(raw, inf), "g2_in_subgroup") == 1

@@ -108,7 +108,14 @@ class Domain:
         self.d_inv = pow(self.d, -1, R)
         self.gen = FR_GENERATOR
         self.gen_inv = pow(FR_GENERATOR, -1, R)
-        self.bitrev = jnp.asarray(_bitrev_perm(exp))
+        # twiddle tables are built AND CACHED host-side as numpy arrays so
+        # they are concrete even when the Domain singleton is first
+        # constructed inside a jit trace (e.g. under the jitted
+        # Newton-division wrappers) — any jnp result created under a trace
+        # is a tracer, and caching one in the singleton poisons every later
+        # trace (UnexpectedTracerError). numpy constants are safe in both
+        # eager and traced contexts (baked in as compile-time constants).
+        self.bitrev = _bitrev_perm(exp)
         half = max(1, self.d // 2)
         self.tw_fwd = self._powers(self.omega, half)
         self.tw_inv = self._powers(self.omega_inv, half)
@@ -117,20 +124,32 @@ class Domain:
         self._dinv_np = np.asarray(FR.encode([self.d_inv]))[:, 0].reshape(FR.L, 1)
         self._ntt_fwd = jax.jit(partial(self._ntt, inverse=False))
         self._ntt_inv = jax.jit(partial(self._ntt, inverse=True))
-        self._mul_coset = jax.jit(
-            lambda x, p: FR.mul(
-                x, p.reshape((FR.L,) + (1,) * (x.ndim - 2) + (p.shape[-1],))
+
+        # coset tables are CLOSED OVER (compile-time constants), not passed
+        # as arguments: a numpy argument to a jitted fn would re-upload the
+        # whole table on every call
+        def _mul_by(table):
+            t = table  # numpy; becomes a baked constant inside the jit
+            return jax.jit(
+                lambda x: FR.mul(
+                    x, t.reshape((FR.L,) + (1,) * (x.ndim - 2) + (t.shape[-1],))
+                )
             )
-        )
+
+        self._mul_coset_fwd = _mul_by(self.coset_pow)
+        self._mul_coset_inv = _mul_by(self.coset_ipow)
         self._ready = True
 
     @staticmethod
     def _powers(base: int, count: int):
-        """(16, count) Montgomery array of base^0 .. base^(count-1)."""
-        b = jnp.asarray(FR.encode([base]))
-        bb = jnp.broadcast_to(b, (FR.L, count))
-        pows = FR.prefix_mul(bb)  # base^1 .. base^count
-        return jnp.concatenate([FR.one((1,)), pows[:, : count - 1]], axis=1)
+        """(16, count) Montgomery NUMPY array of base^0 .. base^(count-1),
+        computed with host integers (no device/jnp ops — see __init__ note)."""
+        ints = []
+        cur = 1
+        for _ in range(count):
+            ints.append(cur)
+            cur = cur * base % R
+        return FR.encode(ints)
 
     # ---- core transform -----------------------------------------------------
 
@@ -203,11 +222,11 @@ class Domain:
 
     def coset_ntt(self, coeffs):
         """Evaluate over the coset g*<omega> (ft.rs:158-166 semantics)."""
-        return self._ntt_fwd(self._mul_coset(coeffs, self.coset_pow))
+        return self._ntt_fwd(self._mul_coset_fwd(coeffs))
 
     def coset_intt(self, evals):
         """Inverse of coset_ntt (ft.rs:168-178 semantics)."""
-        return self._mul_coset(self._ntt_inv(evals), self.coset_ipow)
+        return self._mul_coset_inv(self._ntt_inv(evals))
 
     # ---- vanishing polynomial helpers (ft.rs:182-217 parity) -------------------
 

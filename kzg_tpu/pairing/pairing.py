@@ -146,14 +146,27 @@ def miller_loop_device(p_aff, q_aff):
 # ---------------------------------------------------------------------------
 
 _HARD_EXP = (P ** 4 - P ** 2 + 1) // R
+# base-p decomposition of the hard exponent: hard = sum_i _HARD_BASE_P[i] p^i
+# with each digit < p, so f^hard = prod (f^(p^i))^(h_i) — the Frobenius
+# powers are nearly free and the joint Shamir ladder needs ~381 cyclotomic
+# squarings instead of the ~2700-bit generic ladder (the reference's blst
+# uses the equivalent cyclotomic + x-chain structure).
+_HARD_BASE_P = []
+_h = _HARD_EXP
+while _h:
+    _HARD_BASE_P.append(_h % P)
+    _h //= P
+assert len(_HARD_BASE_P) == 4
+assert sum(h * P ** i for i, h in enumerate(_HARD_BASE_P)) == _HARD_EXP
 
 
 def final_exp_device(f):
-    """f^((p^12-1)/r): easy part conj*inv + p^2-Frobenius, hard part by a
-    single static scan ladder (perf TODO: cyclotomic squarings + x-chain)."""
+    """f^((p^12-1)/r): easy part conj*inv + p^2-Frobenius; hard part via the
+    base-p Frobenius decomposition + joint ladder with Granger-Scott
+    cyclotomic squarings (valid after the easy part)."""
     f = tw.f12_mul(tw.f12_conj(f), tw.f12_inv(f))  # f^(p^6 - 1)
     f = tw.f12_mul(tw.f12_frobenius(tw.f12_frobenius(f)), f)  # ^(p^2 + 1)
-    return tw.f12_pow_static(f, _HARD_EXP)
+    return tw.f12_joint_pow_frobenius(f, _HARD_BASE_P)
 
 
 # ---------------------------------------------------------------------------

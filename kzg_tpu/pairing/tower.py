@@ -302,6 +302,84 @@ def f12_frobenius(x):
     return _pack12(c0, c1)
 
 
+# ---- cyclotomic arithmetic -------------------------------------------------
+# For f in the cyclotomic subgroup (f^(p^4 - p^2 + 1) = 1, i.e. anything
+# after the easy part of the final exponentiation) squaring compresses to
+# three Fp4 squarings (Granger–Scott), ~2.3x cheaper than generic f12_sqr.
+# Differentially tested against f12_sqr on cyclotomic elements
+# (tests/test_pairing.py).
+
+
+def _fp4_sqr(a, b):
+    """(a + b s)^2 in Fp4 = Fp2[s]/(s^2 - xi): returns (c0, c1)."""
+    t0 = f2_sqr(a)
+    t1 = f2_sqr(b)
+    c0 = f2_add(f2_mul_xi(t1), t0)
+    c1 = f2_sub(f2_sub(f2_sqr(f2_add(a, b)), t0), t1)
+    return c0, c1
+
+
+def f12_cyclotomic_sqr(x):
+    """Granger–Scott compressed squaring, valid ONLY in the cyclotomic
+    subgroup. Component naming follows the standard (z0..z5) formulation
+    over three Fp4 pairs (z0,z1), (z2,z3), (z4,z5)."""
+    c0, c1 = _c12(x, 0), _c12(x, 1)
+    z0, z4, z3 = _c6(c0, 0), _c6(c0, 1), _c6(c0, 2)
+    z2, z1, z5 = _c6(c1, 0), _c6(c1, 1), _c6(c1, 2)
+    t0, t1 = _fp4_sqr(z0, z1)
+    z0 = f2_add(f2_add(f2_sub(t0, z0), f2_sub(t0, z0)), t0)
+    z1 = f2_add(f2_add(f2_add(t1, z1), f2_add(t1, z1)), t1)
+    t0, t1 = _fp4_sqr(z2, z3)
+    t2, t3 = _fp4_sqr(z4, z5)
+    z4 = f2_add(f2_add(f2_sub(t0, z4), f2_sub(t0, z4)), t0)
+    z5 = f2_add(f2_add(f2_add(t1, z5), f2_add(t1, z5)), t1)
+    t0 = f2_mul_xi(t3)
+    z2 = f2_add(f2_add(f2_add(t0, z2), f2_add(t0, z2)), t0)
+    z3 = f2_add(f2_add(f2_sub(t2, z3), f2_sub(t2, z3)), t2)
+    return _pack12(_pack6(z0, z4, z3), _pack6(z2, z1, z5))
+
+
+def f12_joint_pow_frobenius(f, exps, use_cyclotomic=True):
+    """prod_i (f^(p^i))^(exps[i]) for static integer exponents, via one
+    Shamir joint ladder: max-bitlength squarings (cyclotomic when f is in
+    the cyclotomic subgroup) with one table-lookup multiply per bit.
+    Used by the final exponentiation's hard part (the base-p decomposition
+    of (p^4 - p^2 + 1)/r needs 4 Frobenius powers)."""
+    k = len(exps)
+    assert 1 <= k <= 6
+    batch = f.shape[2:]
+    # Frobenius powers f^(p^i)
+    fs = [f]
+    for _ in range(k - 1):
+        fs.append(f12_frobenius(fs[-1]))
+    # subset-product table T[mask] = prod_{i in mask} fs[i]
+    table = [f12_one(batch)]
+    for m in range(1, 1 << k):
+        low = m & -m
+        rest = m ^ low
+        t = fs[low.bit_length() - 1]
+        table.append(t if rest == 0 else f12_mul(table[rest], t))
+    tstack = jnp.stack(table)  # (2^k, L, 12, *batch)
+    nbits = max(e.bit_length() for e in exps)
+    if nbits == 0:
+        return f12_one(batch)
+    masks = np.zeros(nbits, dtype=np.int32)
+    for i, e in enumerate(exps):
+        for j in range(nbits):  # MSB-first
+            masks[j] |= ((e >> (nbits - 1 - j)) & 1) << i
+    sqr = f12_cyclotomic_sqr if use_cyclotomic else f12_sqr
+
+    def body(acc, mask):
+        acc = sqr(acc)
+        acc = f12_mul(acc, jnp.take(tstack, mask, axis=0))
+        return acc, None
+
+    # first bit: start from T[mask0] (avoids squaring the identity)
+    acc0 = jnp.take(tstack, jnp.int32(int(masks[0])), axis=0)
+    acc, _ = jax.lax.scan(body, acc0, jnp.asarray(masks[1:]))
+    return acc
+
+
 # ---- powers ----------------------------------------------------------------
 
 

@@ -5,7 +5,12 @@ TPU-native scaling design of SURVEY.md §5.7-5.8 / §7 step 8."""
 
 from .ntt import ShardedDomain, four_step_dif, four_step_dit
 from .msm import make_sharded_msm, pad_msm_inputs
-from .pipeline import make_commit_witness_step
+from .pipeline import (
+    make_commit_witness_step,
+    make_batched_witness_step,
+    make_eval_form_step,
+)
+from .runtime import initialize_distributed, make_mesh
 
 __all__ = [
     "ShardedDomain",
@@ -14,4 +19,8 @@ __all__ = [
     "make_sharded_msm",
     "pad_msm_inputs",
     "make_commit_witness_step",
+    "make_batched_witness_step",
+    "make_eval_form_step",
+    "initialize_distributed",
+    "make_mesh",
 ]

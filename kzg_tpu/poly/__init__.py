@@ -4,7 +4,9 @@ from .subproduct import (
     vanishing_poly,
     poly_derivative,
     lagrange_interpolation,
+    multi_eval_tree,
 )
+from .newton import inv_series, newton_divmod
 
 __all__ = [
     "Polynomial",
@@ -13,4 +15,7 @@ __all__ = [
     "vanishing_poly",
     "poly_derivative",
     "lagrange_interpolation",
+    "multi_eval_tree",
+    "inv_series",
+    "newton_divmod",
 ]

@@ -287,16 +287,38 @@ class Polynomial:
 
     def eval_many(self, pts):
         """Evaluate at (L, k) points -> (L, k). (multi_eval parity,
-        polynomial.rs:229-233, without the xs.len() > degree restriction.)"""
+        polynomial.rs:229-233, without the xs.len() > degree restriction.)
+
+        Large k on large polynomials routes through the remainder tree
+        (O(M(n) + M(k) log k)); otherwise the direct chunked-power method
+        (O(n·k) work, log depth — faster for small batches)."""
+        k = pts.shape[-1]
+        if k >= 64 and self.num_coeffs() * k >= (1 << 22):
+            from .subproduct import multi_eval_tree
+
+            return multi_eval_tree(self, pts)
         return _eval_many(self.trimmed(), pts)
 
     def long_division(self, divisor):
         """(quotient, remainder or None) — None iff division is exact,
         which is the exactness signal the protocol layer turns into
-        PointNotOnPolynomial (reference coeff_form.rs:71-75)."""
-        q, r, _ = _long_division(
-            self.trimmed(), divisor.trimmed(), self.num_coeffs(), divisor.num_coeffs()
-        )
+        PointNotOnPolynomial (reference coeff_form.rs:71-75).
+
+        Dispatch: small quotients use the scan schoolbook (one compiled
+        body); large ones use reversal + Newton-inverse division — O(M(n))
+        NTT work at log depth instead of an O(n-k)-step sequential scan
+        (SURVEY.md §7 hard parts; the reference is O((n-k)k) schoolbook,
+        polynomial.rs:193-227). Both paths are differentially tested."""
+        from ..config import get_config
+
+        nf, nd = self.num_coeffs(), divisor.num_coeffs()
+        steps = nf - nd + 1
+        if steps > get_config().newton_div_threshold:
+            from .newton import newton_divmod_jit
+
+            q, r = newton_divmod_jit(self.trimmed(), divisor.trimmed(), nf, nd)
+        else:
+            q, r, _ = _long_division(self.trimmed(), divisor.trimmed(), nf, nd)
         qp = Polynomial(q, max(0, self.degree - divisor.degree))
         rp = Polynomial(r)
         rp.fixup_degree()
@@ -311,8 +333,10 @@ class Polynomial:
         return Polynomial(q[:, 0, :], max(0, self.degree - 1)), FR.decode(rem)[0]
 
     def __eq__(self, other):
-        if self.degree != other.degree:
-            return False
+        # Mathematical equality: compare the padded coefficient arrays rather
+        # than the tracked degrees — add/sub keep degree = n-1 without fixup
+        # on cancellation (cheap, no device sync), so two equal polynomials
+        # can carry different tracked degrees.
         n = max(self.num_coeffs(), other.num_coeffs())
         return bool(
             np.asarray(

@@ -67,10 +67,20 @@ class SubProductTree:
 
     def eval_points(self, poly: Polynomial):
         """Fast multipoint evaluation of `poly` at the tree's points.
-        (The reference remainders down the tree, polynomial.rs:329-348; on a
-        vector machine direct batched evaluation is both simpler and faster
-        at protocol batch sizes.)"""
-        return poly.eval_many(self.xs)
+
+        Remainders down the tree level-synchronously (reference
+        polynomial.rs:329-348 semantics; one batched Newton division per
+        level) for large point counts; small batches use direct vectorised
+        evaluation, which is both simpler and faster there."""
+        from ..config import get_config
+
+        k = self.xs.shape[-1]
+        thr = get_config().tree_eval_threshold
+        if k < thr and poly.num_coeffs() * k < (1 << 22):
+            return poly.eval_many(self.xs)
+        from .newton import eval_points_tree_jit
+
+        return eval_points_tree_jit(poly.trimmed(), self.levels, poly.num_coeffs())
 
     def linear_mod_combination(self, cs):
         """sum_i cs_i * Z(X)/(X - x_i)  (polynomial.rs:350-364 semantics),
@@ -80,6 +90,23 @@ class SubProductTree:
         weighted = FR.mul(q, cs[..., None])
         summed = FR.sum_last(jnp.moveaxis(weighted, 1, -1))  # sum over k
         return Polynomial(summed, z.degree - 1)
+
+
+def multi_eval_tree(poly: Polynomial, xs):
+    """Evaluate `poly` at any (L, k) point batch via the remainder tree
+    (k padded to a power of two with copies of x_0 — the padded lanes are
+    computed and discarded). O(M(n) + M(k) log k) vs direct O(n·k); use for
+    large k on large polynomials (polynomial.rs:329-348 parity at scale)."""
+    k = xs.shape[-1]
+    kp = 1 << max(1, (k - 1).bit_length())
+    if kp != k:
+        pad = jnp.broadcast_to(xs[..., :1], (FR.L, kp - k))
+        xs = jnp.concatenate([xs, pad], axis=-1)
+    tree = SubProductTree.from_points(xs)
+    from .newton import eval_points_tree_jit
+
+    vals = eval_points_tree_jit(poly.trimmed(), tree.levels, poly.num_coeffs())
+    return vals[..., :k]
 
 
 def vanishing_poly(xs) -> Polynomial:

@@ -552,7 +552,10 @@ static void pt_to_affine(const Point<F>& p, F& ax, F& ay, bool& inf) {
   ay = p.y * (zi2 * zi);
 }
 
-// scalar mul by a 256-bit scalar (standard form, little-endian words)
+// scalar mul by a 256-bit scalar (standard form, little-endian words).
+// VARIABLE-TIME: loop length and the add branch depend on the scalar bits.
+// Only for public scalars (subgroup checks, test helpers) — secret-scalar
+// paths (trusted setup) must use pt_mul_ct below.
 template <typename F>
 static Point<F> pt_mul(const Point<F>& p, const u64 k[4]) {
   Point<F> acc = Point<F>::infinity();
@@ -563,6 +566,95 @@ static Point<F> pt_mul(const Point<F>& p, const u64 k[4]) {
   for (int i = bits - 1; i >= 0; i--) {
     acc = pt_dbl(acc);
     if ((k[i / 64] >> (i % 64)) & 1) acc = pt_add(acc, p);
+  }
+  return acc;
+}
+
+// ---------------------------------------------------------------------------
+// Constant-time scalar multiplication (for the trusted-setup secret path)
+// ---------------------------------------------------------------------------
+
+static inline u64 ct_mask(bool b) { return (u64)0 - (u64)b; }
+
+// out = mask ? a : b with an all-ones/all-zeros mask; T must be a POD of u64
+// words (Fp, Fp2, Point<...> all are).
+template <typename T>
+static inline T ct_sel(u64 mask, const T& a, const T& b) {
+  T r;
+  const u64* pa = reinterpret_cast<const u64*>(&a);
+  const u64* pb = reinterpret_cast<const u64*>(&b);
+  u64* pr = reinterpret_cast<u64*>(&r);
+  for (size_t i = 0; i < sizeof(T) / sizeof(u64); i++)
+    pr[i] = (pa[i] & mask) | (pb[i] & ~mask);
+  return r;
+}
+
+// dbl-2009-l without the infinity early-return: z == 0 yields z3 = 2yz = 0,
+// so any infinity representation stays at infinity through the formulas.
+template <typename F>
+static Point<F> pt_dbl_ct(const Point<F>& p) {
+  F a = p.x.square();
+  F b = p.y.square();
+  F c = b.square();
+  F xb = p.x + b;
+  F d = (xb.square() - a - c).dbl();
+  F e = a.mul3();
+  F f = e.square();
+  F x3 = f - d.dbl();
+  F c8 = c.dbl().dbl().dbl();
+  F y3 = e * (d - x3) - c8;
+  F z3 = (p.y * p.z).dbl();
+  return {x3, y3, z3};
+}
+
+// Branch-free Jacobian add: general add-2007-bl formulas computed
+// unconditionally, exceptional cases (either operand infinity, p == q,
+// p == -q) resolved by masked selects.
+template <typename F>
+static Point<F> pt_add_ct(const Point<F>& p, const Point<F>& q) {
+  F z1z1 = p.z.square();
+  F z2z2 = q.z.square();
+  F u1 = p.x * z2z2;
+  F u2 = q.x * z1z1;
+  F s1 = p.y * (q.z * z2z2);
+  F s2 = q.y * (p.z * z1z1);
+  F h = u2 - u1;
+  F r = s2 - s1;
+  F i = (h + h).square();
+  F j = h * i;
+  F r2 = r + r;
+  F v = u1 * i;
+  F x3 = r2.square() - j - (v + v);
+  F s1j = s1 * j;
+  F y3 = r2 * (v - x3) - (s1j + s1j);
+  F zz = (p.z + q.z).square() - z1z1 - z2z2;
+  Point<F> gen = {x3, y3, zz * h};
+  Point<F> dbl = pt_dbl_ct(p);
+  u64 m_pinf = ct_mask(p.is_inf());
+  u64 m_qinf = ct_mask(q.is_inf());
+  u64 m_h0 = ct_mask(h.is_zero());
+  u64 m_r0 = ct_mask(r.is_zero());
+  Point<F> out = ct_sel(m_h0 & m_r0, dbl, gen);            // p == q
+  out = ct_sel(m_h0 & ~m_r0, Point<F>::infinity(), out);   // p == -q
+  out = ct_sel(m_pinf, q, out);
+  out = ct_sel(m_qinf, p, out);
+  return out;
+}
+
+// Constant-time scalar mul: fixed 256 iterations, double-and-always-add with
+// a masked accumulator select. The trusted setup routes the secret s through
+// this (kzgn_g1_powers / kzgn_g1_mul and the G2 twins) — the reference gets
+// the same property from blst's constant-time ladders (SURVEY.md §2.2); the
+// previous variable-time pt_mul leaked scalar bits to a co-located timing
+// observer.
+template <typename F>
+static Point<F> pt_mul_ct(const Point<F>& p, const u64 k[4]) {
+  Point<F> acc = Point<F>::infinity();
+  for (int i = 255; i >= 0; i--) {
+    acc = pt_dbl_ct(acc);
+    Point<F> sum = pt_add_ct(acc, p);
+    u64 bit = (k[i / 64] >> (i % 64)) & 1;
+    acc = ct_sel(ct_mask(bit != 0), sum, acc);
   }
   return acc;
 }
@@ -580,7 +672,7 @@ static Point<F> msm(const F* xs, const F* ys, const u8* infs, const u8* sc /* 32
   if (n >= 256) c = 9;
   if (n >= 4096) c = 12;
   if (n >= 65536) c = 14;
-  int windows = (255 + c - 1) / c;
+  int windows = (256 + c - 1) / c;
   int nbuckets = (1 << c) - 1;
   std::vector<Point<F>> buckets(nbuckets);
   Point<F> total = Point<F>::infinity();
@@ -882,7 +974,7 @@ int kzgn_g1_mul(const u8* p_raw, int p_inf, const u8* k, u8* out, u8* out_inf) {
     for (int j = 7; j >= 0; j--) w = (w << 8) | k[i * 8 + j];
     kw[i] = w;
   }
-  g1_to_raw(pt_mul(p, kw), out, out_inf);
+  g1_to_raw(pt_mul_ct(p, kw), out, out_inf);
   return 0;
 }
 
@@ -896,7 +988,7 @@ int kzgn_g2_mul(const u8* p_raw, int p_inf, const u8* k, u8* out, u8* out_inf) {
     for (int j = 7; j >= 0; j--) w = (w << 8) | k[i * 8 + j];
     kw[i] = w;
   }
-  g2_to_raw(pt_mul(p, kw), out, out_inf);
+  g2_to_raw(pt_mul_ct(p, kw), out, out_inf);
   return 0;
 }
 
@@ -933,7 +1025,7 @@ int kzgn_g1_powers(const u8* base_raw, const u8* s /*32B LE*/, long n, u8* out /
   Point<Fp> cur = base;
   for (long i = 0; i < n; i++) {
     g1_to_raw(cur, out + i * 96, nullptr);
-    if (i + 1 < n) cur = pt_mul(cur, sw);
+    if (i + 1 < n) cur = pt_mul_ct(cur, sw);
   }
   return 0;
 }
@@ -951,7 +1043,7 @@ int kzgn_g2_powers(const u8* base_raw, const u8* s, long n, u8* out /*192n*/) {
   Point<Fp2> cur = base;
   for (long i = 0; i < n; i++) {
     g2_to_raw(cur, out + i * 192, nullptr);
-    if (i + 1 < n) cur = pt_mul(cur, sw);
+    if (i + 1 < n) cur = pt_mul_ct(cur, sw);
   }
   return 0;
 }

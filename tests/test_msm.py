@@ -61,3 +61,86 @@ def test_msm_g2_random(rng):
     got = msm_g2((dev[0], dev[1], jnp.asarray(inf)), s, 4)
     got_pt = g2_from_device(tuple(t[..., None] for t in got))[0]
     assert got_pt == oracle_msm(pts, scalars)
+
+
+def _with_config(**kw):
+    """Context manager: temporarily override global config fields."""
+    import contextlib
+    from kzg_tpu.config import get_config, set_config, configure
+
+    @contextlib.contextmanager
+    def cm():
+        old = get_config()
+        try:
+            yield configure(**kw)
+        finally:
+            set_config(old)
+
+    return cm()
+
+
+def test_msm_v2_bucket_path(rng):
+    """Force the v2 windows-in-lanes + batched-affine bucket path at a
+    CPU-compilable size (threshold lowered via config)."""
+    g = g1_generator()
+    n = 64
+    pts = [ec_mul(g, rng.randrange(1, R)) for _ in range(n)]
+    pts[3] = None  # infinity input must be skipped
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[5] = 0
+    with _with_config(small_msm_threshold=16, msm_impl="v2"):
+        got = run_g1(pts, scalars, 5)
+    assert got == oracle_msm(pts, scalars)
+
+
+def test_msm_v2_skewed_digits_fallback(rng):
+    """All-equal scalars concentrate every window's digits in one bucket —
+    the capped bucket loop must hand off to the segmented-scan fallback and
+    still produce the exact sum (the VERDICT worst-case robustness item)."""
+    g = g1_generator()
+    n = 64
+    pts = [ec_mul(g, i + 1) for i in range(n)]
+    s = rng.randrange(1, R)
+    scalars = [s] * n
+    with _with_config(small_msm_threshold=16, msm_impl="v2"):
+        got = run_g1(pts, scalars, 5)
+    assert got == oracle_msm(pts, scalars)
+
+
+def test_msm_v1_bucket_path(rng):
+    """Round-1 window-sequential formulation kept as a baseline: same
+    forced-threshold differential test."""
+    g = g1_generator()
+    n = 64
+    pts = [ec_mul(g, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    with _with_config(small_msm_threshold=16, msm_impl="v1"):
+        got = run_g1(pts, scalars, 5)
+    assert got == oracle_msm(pts, scalars)
+
+
+def test_msm_v2_g2_bucket_path(rng):
+    h = g2_generator()
+    n = 40
+    pts = [ec_mul(h, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    dev = g2_to_device(pts)
+    inf = np.asarray(jnp.all(dev[2] == 0, axis=(0, 1)))
+    s = jnp.asarray(FR.encode([x % R for x in scalars]))
+    with _with_config(small_msm_threshold=16, msm_impl="v2"):
+        got = msm_g2((dev[0], dev[1], jnp.asarray(inf)), s, 5)
+    got_pt = g2_from_device(tuple(t[..., None] for t in got))[0]
+    assert got_pt == oracle_msm(pts, scalars)
+
+
+def test_msm_v1_skewed_digits_fallback(rng):
+    """v1's capped window loop must also hand off to its segmented-scan
+    fallback on adversarially skewed digits."""
+    g = g1_generator()
+    n = 64
+    pts = [ec_mul(g, i + 1) for i in range(n)]
+    s = rng.randrange(1, R)
+    scalars = [s] * n
+    with _with_config(small_msm_threshold=16, msm_impl="v1"):
+        got = run_g1(pts, scalars, 5)
+    assert got == oracle_msm(pts, scalars)

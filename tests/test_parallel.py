@@ -135,3 +135,74 @@ def test_commit_witness_step(mesh, rng):
 
     verifier = KZGVerifier(params)
     assert verifier.verify_eval((x, y), commit, wit)
+
+
+@pytest.mark.slow
+def test_batched_witness_step(mesh, rng):
+    """Sharded batched opening vs the single-device protocol layer."""
+    from kzg_tpu.kzg import setup, KZGProver, KZGVerifier
+    from kzg_tpu.kzg.coeff_form import KZGBatchWitness
+    from kzg_tpu.parallel import make_batched_witness_step
+    from kzg_tpu.poly import Polynomial
+
+    n = 1 << EXP
+    k = 4
+    params = setup(54321, n)
+    coeff_ints = [rng.randrange(R) for _ in range(n)]
+    poly = Polynomial.from_ints(coeff_ints)
+    xs = [rng.randrange(R) for _ in range(k)]
+
+    step = make_batched_witness_step(mesh, "shard", EXP, k)
+    gx = jax.device_put(params.gs[0], step.point_sharding)
+    gy = jax.device_put(params.gs[1], step.point_sharding)
+    gi = jax.device_put(params.gs[2], step.inf_sharding)
+    coeffs = jax.device_put(poly.coeffs, step.point_sharding)
+    xs_mont = jnp.asarray(FR.encode(xs))
+
+    commit, ys_mont, r_coeffs, wit = step(gx, gy, gi, coeffs, xs_mont)
+
+    ys = FR.decode(ys_mont)
+    assert ys == [poly.eval(x) for x in xs]
+
+    prover = KZGProver(params)
+    want = prover.create_witness_batched(poly, xs, ys)
+    assert bool(np.asarray(G1.eq(wit, want.w)))
+    assert FR.decode(r_coeffs) == want.r.to_ints()
+
+    verifier = KZGVerifier(params)
+    bw = KZGBatchWitness(r=want.r, w=wit)
+    assert verifier.verify_eval_batched(commit, bw, xs)
+
+
+@pytest.mark.slow
+def test_eval_form_step(mesh, rng):
+    """Sharded eval-form commit + witness vs the local eval-form prover."""
+    from kzg_tpu.kzg import setup, compute_lagrange_basis_from_secret
+    from kzg_tpu.kzg.eval_form import KZGProverEvalForm, KZGVerifierEvalForm
+    from kzg_tpu.parallel import make_eval_form_step
+
+    d = 1 << EXP
+    secret = 98765
+    params = setup(secret, d)
+    lag = compute_lagrange_basis_from_secret(secret, EXP)
+    prover = KZGProverEvalForm(params, lag)
+    evals_ints = [rng.randrange(R) for _ in range(d)]
+    evals = jnp.asarray(FR.encode(evals_ints))
+    m = 5
+
+    step = make_eval_form_step(mesh, "shard", EXP, m)
+    lx = jax.device_put(lag.lg[0], step.point_sharding)
+    ly = jax.device_put(lag.lg[1], step.point_sharding)
+    li = jax.device_put(lag.lg[2], step.inf_sharding)
+    ev = jax.device_put(evals, step.point_sharding)
+
+    commit, y_mont, wit = step(lx, ly, li, ev)
+
+    assert FR.decode(y_mont)[0] == evals_ints[m]
+    want_c = prover.commit(evals)
+    assert bool(np.asarray(G1.eq(commit, want_c)))
+    want_w = prover.create_witness(evals, m)
+    assert bool(np.asarray(G1.eq(wit, want_w)))
+
+    verifier = KZGVerifierEvalForm(params, lag)
+    assert verifier.verify_eval((m, evals_ints[m]), commit, wit)
