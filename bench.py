@@ -127,6 +127,9 @@ def main():
     impl = get_config().msm_impl
     if impl == "v1":
         msm_fn = _msm_impl
+    elif impl == "v1s":
+        from kzg_tpu.msm.pippenger import _msm_impl_signed
+        msm_fn = _msm_impl_signed
     elif impl == "affine":
         msm_fn = lambda *a: _msm_impl_v2(*a, affine=True)  # noqa: E731
     else:

@@ -36,7 +36,9 @@ class KZGConfig:
     # per-step gathers lower better. "v2" = windows-in-lanes variant with a
     # capped worst case + segmented-scan fallback; "affine" = v2 with
     # batched-affine adds + per-step tree inversion (fewest field muls,
-    # most dependent launches). All three are differentially tested.
+    # most dependent launches); "v1s" = v1 with SIGNED digit windows
+    # (half the buckets per window + one borrow window). All variants are
+    # differentially tested.
     msm_impl: str = "v1"
 
     # --- trusted setup -------------------------------------------------
@@ -72,7 +74,7 @@ class KZGConfig:
             raise ValueError(f"bad setup_engine {self.setup_engine!r}")
         if self.msm_window is not None and not (1 <= self.msm_window <= 20):
             raise ValueError("msm_window must be in [1, 20]")
-        if self.msm_impl not in ("v1", "v2", "affine"):
+        if self.msm_impl not in ("v1", "v1s", "v2", "affine"):
             raise ValueError(f"bad msm_impl {self.msm_impl!r}")
         if not (2 <= self.fixed_base_window <= 16):
             raise ValueError("fixed_base_window must be in [2, 16]")

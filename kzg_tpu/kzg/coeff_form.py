@@ -62,11 +62,17 @@ class KZGProver:
         assert n <= self.params.n, "polynomial larger than SRS"
         return msm_g1(_slice_srs(self.params.gs, n), poly.trimmed())
 
-    def create_witness(self, poly: Polynomial, point):
+    def create_witness(self, poly: Polynomial, point, check: bool = True):
         """Witness for f(x) = y: psi = (f - y)/(X - x), w = MSM(gs, psi)
-        (coeff_form.rs:66-81). Raises PointNotOnPolynomial when y != f(x)."""
+        (coeff_form.rs:66-81). Raises PointNotOnPolynomial when y != f(x).
+
+        check=False skips the membership check — it costs a blocking
+        device->host round-trip per call, a latency drag in pipelined
+        production proving where y was just computed from the same poly
+        (the quotient itself is correct either way; an off-polynomial y
+        simply yields a witness that will not verify)."""
         x, y = point
-        if poly.eval(x) != y % R:
+        if check and poly.eval(x) != y % R:
             raise PointNotOnPolynomial(f"({x}, {y}) not on polynomial")
         fm = poly.trimmed()
         ymont = jnp.asarray(FR.encode([y % R]))
@@ -77,26 +83,39 @@ class KZGProver:
             return G1.infinity(())
         return msm_g1(_slice_srs(self.params.gs, q.num_coeffs()), q.trimmed())
 
-    def create_witness_batched(self, poly: Polynomial, xs, ys) -> KZGBatchWitness:
+    def create_witness_batched(self, poly: Polynomial, xs, ys,
+                               check: bool = True) -> KZGBatchWitness:
         """Aggregate witness for f(x_i) = y_i: r interpolates the points,
-        psi = (f - r)/Z, w = MSM(gs, psi) (coeff_form.rs:83-111)."""
+        psi = (f - r)/Z, w = MSM(gs, psi) (coeff_form.rs:83-111).
+        check=False as in create_witness."""
         assert len(xs) == len(ys) and len(xs) > 0
         xs_d = jnp.asarray(FR.encode([x % R for x in xs]))
         ys_d = jnp.asarray(FR.encode([y % R for y in ys]))
-        got = FR.decode(poly.eval_many(xs_d))
-        if got != [y % R for y in ys]:
-            raise BatchedPointsNotOnPolynomial("some (x_i, y_i) not on polynomial")
+        if check:
+            got = FR.decode(poly.eval_many(xs_d))
+            if got != [y % R for y in ys]:
+                raise BatchedPointsNotOnPolynomial(
+                    "some (x_i, y_i) not on polynomial"
+                )
         z = vanishing_poly(xs_d)
         r = lagrange_interpolation(xs_d, ys_d)
         numerator = poly - r
-        q = self._exact_div(numerator, z)
+        q = self._exact_div(numerator, z, xs_int=[x % R for x in xs])
         w = msm_g1(_slice_srs(self.params.gs, q.num_coeffs()), q.trimmed())
         return KZGBatchWitness(r=r, w=w)
 
     @staticmethod
-    def _exact_div(numerator: Polynomial, z: Polynomial) -> Polynomial:
+    def _exact_div(numerator: Polynomial, z: Polynomial, xs_int=None) -> Polynomial:
         """(numerator / z), exactness guaranteed by the caller's evaluation
-        check. Coset evaluation division (see module docstring)."""
+        check. Coset evaluation division (see module docstring).
+
+        A batch point lying ON the evaluation coset would make Z vanish
+        there (measure-zero; adversarially possible) — then exact division
+        falls back to the Newton/scan path. With xs_int (the batch points
+        as host ints) the test is pure host arithmetic — x on gen*<omega_d>
+        iff (x/gen)^d == 1 — so the hot path never syncs the device."""
+        from ..constants import FR_GENERATOR
+
         n = numerator.num_coeffs()
         k = z.num_coeffs()
         if n < k:
@@ -105,13 +124,17 @@ class KZGProver:
         dom = Domain(exp)
         ne = dom.coset_ntt(_pad_to(numerator.trimmed(), dom.d))
         ze = dom.coset_ntt(_pad_to(z.trimmed(), dom.d))
-        zinv = FR.batch_inv(ze)
-        # a batch point on the coset would make Z vanish there (measure-zero;
-        # adversarially possible) -> fall back to exact scan division
-        if bool(np.asarray(FR.is_zero(ze).any())):
+        if xs_int is not None:
+            ginv = pow(FR_GENERATOR, -1, R)
+            on_coset = any(
+                pow(x * ginv % R, dom.d, R) == 1 for x in xs_int
+            )
+        else:
+            on_coset = bool(np.asarray(FR.is_zero(ze).any()))
+        if on_coset:
             q, _ = numerator.long_division(z)
             return q
-        q_evals = FR.mul(ne, zinv)
+        q_evals = FR.mul(ne, FR.batch_inv(ze))
         q_coeffs = dom.coset_intt(q_evals)[..., : n - k + 1]
         return Polynomial(q_coeffs, n - k)
 

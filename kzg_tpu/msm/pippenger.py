@@ -87,6 +87,32 @@ def _digits(scalars_std, c: int):
     return jnp.stack(rows).astype(jnp.int32)
 
 
+def _signed_digits(scalars_std, c: int):
+    """Signed window recoding: returns (mag, neg) of shapes (W+1, N).
+
+    Window digits d_w in [0, 2^c) become e_w in [-2^(c-1), 2^(c-1)-1] by
+    borrowing: e = d + carry - 2^c*(d + carry >= 2^(c-1)); one extra
+    window absorbs the final carry. mag = |e| in [0, 2^(c-1)], neg = e < 0.
+    Halves the bucket count per window (the point is cheaply negated on
+    gather: -P = (x, -y)) — SURVEY §7's signed-digit recommendation."""
+    digits = _digits(scalars_std, c)  # (W, N) in [0, 2^c)
+    half = 1 << (c - 1)
+    full = 1 << c
+    mags = []
+    negs = []
+    carry = jnp.zeros_like(digits[0])
+    for w in range(digits.shape[0]):
+        e = digits[w] + carry
+        borrow = e >= half  # includes e == 2^c (-> e' = 0, carry 1)
+        e = jnp.where(borrow, e - full, e)
+        carry = borrow.astype(digits.dtype)
+        mags.append(jnp.abs(e))
+        negs.append(e < 0)
+    mags.append(carry)  # top window: digit 0/1, never negative
+    negs.append(jnp.zeros_like(negs[0]))
+    return jnp.stack(mags), jnp.stack(negs)
+
+
 def _point_suffix_scan(curve, p):
     """suf[b] = sum_{j >= b} p[j] along the last axis via a roll-based
     doubling scan. O(n log n) point work but ONE traced loop body — the
@@ -273,6 +299,103 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
     _, acc_all = jax.lax.scan(window, None, digits)  # leaves: (W, *elem, B)
     acc_b = tuple(jnp.moveaxis(t, 0, -2) for t in acc_all)  # (*elem, W, B)
     s_all = weighted_bucket_sum(curve, acc_b)  # (*elem, W) points
+
+    def join(i, acc):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
+        s_w = tuple(t[..., w_count - 1 - i] for t in s_all)
+        return curve.add(acc, s_w)
+
+    return jax.lax.fori_loop(0, w_count, join, curve.infinity(()))
+
+
+def _msm_impl_signed(curve, xa, ya, inf, scalars_std, c: int):
+    """v1 window-sequential accumulation with SIGNED digit windows: bucket
+    count per window halves (2^(c-1)+1 vs 2^c) at the cost of one extra
+    window for the final borrow — less weighted-reduction work and denser
+    buckets. Point negation is a masked y-negate on gather (-P = (x, -y)).
+    Same capped loop + segmented-scan worst-case fallback as v1."""
+    n = xa.shape[-1]
+    from ..config import get_config
+
+    if n < get_config().small_msm_threshold:
+        return _msm_small(curve, xa, ya, inf, scalars_std)
+    elem_shape = xa.shape[:-1]
+    mags, negs = _signed_digits(scalars_std, c)  # (W+1, N)
+    w_count = mags.shape[0]
+    half = 1 << (c - 1)
+    # bucket b holds magnitude b+1 (magnitude 0 contributes nothing), so
+    # the accumulator stays an exact power of two — a 2^(c-1)+1 layout
+    # would pad to the next full lane block and waste ~half the vector
+    nb = half
+    bucket_ids = jnp.arange(1, half + 1, dtype=jnp.int32)
+    K = int(np.prod(elem_shape))
+    stacked = jnp.concatenate(
+        [xa.reshape(K, n), ya.reshape(K, n), inf[None].astype(xa.dtype)],
+        axis=0,
+    )
+    cap = 4 * (n // nb + 1) + 64
+    idx_n = jnp.arange(n)
+
+    def window(carry, mn):
+        dw, ng = mn
+        order = jnp.argsort(dw)
+        ds = jnp.take(dw, order)
+        ns = jnp.take(ng, order)
+        sp = jnp.take(stacked, order, axis=-1)
+        start = jnp.searchsorted(ds, bucket_ids, side="left").astype(jnp.int32)
+        end = jnp.searchsorted(ds, bucket_ids, side="right").astype(jnp.int32)
+        count = end - start
+        maxc = jnp.max(count)
+        acc0 = curve.infinity((nb,))
+
+        def kbody(k, acc):
+            idx = jnp.clip(start + k, 0, n - 1)
+            valid = k < count
+            g = jnp.take(sp, idx, axis=-1)
+            qx = g[:K].reshape(elem_shape + (nb,))
+            qy = g[K: 2 * K].reshape(elem_shape + (nb,))
+            qneg = jnp.take(ns, idx)
+            qy = jnp.where(curve.fa.expand(qneg), curve.fa.neg(qy), qy)
+            qinf = g[2 * K] != 0
+            skip = jnp.logical_or(~valid, qinf)
+            return curve.madd(acc, (qx, qy), skip)
+
+        def bucket_loop(_):
+            return jax.lax.fori_loop(0, maxc, kbody, acc0)
+
+        def segscan(_):
+            px = sp[:K].reshape(elem_shape + (n,))
+            py = sp[K: 2 * K].reshape(elem_shape + (n,))
+            py = jnp.where(curve.fa.expand(ns), curve.fa.neg(py), py)
+            live = jnp.logical_and(ds > 0, sp[2 * K] == 0)
+            z = jnp.where(
+                curve.fa.expand(live), curve.fa.one((n,)), curve.fa.zeros((n,))
+            )
+            p = (px, py, z)
+            rounds = max(1, (n - 1).bit_length())
+
+            def rbody(r, p):
+                s = jnp.left_shift(1, r)
+                shifted = tuple(jnp.roll(t, -s, axis=-1) for t in p)
+                same = jnp.logical_and(ds == jnp.roll(ds, -s), idx_n < n - s)
+                return curve.select(same, curve.add(p, shifted), p)
+
+            p = jax.lax.fori_loop(0, rounds, rbody, p)
+            safe_start = jnp.clip(start, 0, n - 1)
+            out = tuple(jnp.take(t, safe_start, axis=-1) for t in p)
+            zfix = jnp.where(
+                curve.fa.expand(count == 0), curve.fa.zeros((nb,)), out[2]
+            )
+            return (out[0], out[1], zfix)
+
+        return carry, jax.lax.cond(maxc <= cap, bucket_loop, segscan, None)
+
+    _, acc_all = jax.lax.scan(window, None, (mags, negs))
+    acc_b = tuple(jnp.moveaxis(t, 0, -2) for t in acc_all)  # (*elem, W+1, nb)
+    # sum_b (b+1) * B_b = (weighted-by-index sum) + (plain sum)
+    s_w = weighted_bucket_sum(curve, acc_b)  # (*elem, W+1)
+    s_p = point_sum(curve, acc_b)            # (*elem, W+1)... reduces last
+    s_all = curve.add(s_w, s_p)
 
     def join(i, acc):
         acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
@@ -486,6 +609,8 @@ def msm(curve, points, scalars_mont, c: int | None = None):
         c = cfg.msm_window or pick_window(n)
     if cfg.msm_impl == "v1":
         impl = _msm_impl
+    elif cfg.msm_impl == "v1s":
+        impl = _msm_impl_signed
     elif cfg.msm_impl == "affine":
         impl = partial(_msm_impl_v2, affine=True)
     else:

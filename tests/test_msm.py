@@ -144,3 +144,18 @@ def test_msm_v1_skewed_digits_fallback(rng):
     with _with_config(small_msm_threshold=16, msm_impl="v1"):
         got = run_g1(pts, scalars, 5)
     assert got == oracle_msm(pts, scalars)
+
+
+def test_msm_v1s_signed_windows(rng):
+    """Signed-digit window variant vs the oracle, incl. edge scalars that
+    exercise the borrow chain (r-1 = all-ones windows)."""
+    g = g1_generator()
+    n = 48
+    pts = [ec_mul(g, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[0] = R - 1
+    scalars[1] = 1
+    scalars[2] = 0
+    with _with_config(small_msm_threshold=16, msm_impl="v1s"):
+        got = run_g1(pts, scalars, 5)
+    assert got == oracle_msm(pts, scalars)
