@@ -5,8 +5,13 @@ roofline-normalized (BASELINE.md: MSM points/s + NTT butterflies/s at
 Prints ONE JSON line. The headline value is MSM points/s at 2^20; the
 `extras` field carries the roofline accounting that makes it interpretable:
 
-  fp_mul_peak_per_sec   measured peak of the fused Fp (381-bit) multiply
-                        kernel — the speed-of-light unit for curve work
+  fp_mul_peak_per_sec   sustained fused-kernel Fp (381-bit) Montgomery-mul
+                        rate: one Pallas launch amortized over a 65-deep
+                        in-kernel mul chain — the speed-of-light unit for
+                        curve work. (A 1-mul probe is launch-overhead-bound
+                        on this device and understates the peak ~20x; the
+                        marginal in-kernel rate is unbounded — see
+                        *_launch_overhead_ms / *_mul_marginal_per_sec.)
   fr_mul_peak_per_sec   same for Fr (255-bit) — the NTT's unit
   msm_mfu               (useful Fp muls issued / second) / fp peak, with
                         useful = n*W*mul_cost(madd): how close the whole
@@ -26,9 +31,14 @@ cache by the remote-device tunnel, reporting physically impossible rates).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _note(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 LOG_N = int(os.environ.get("KZG_BENCH_LOGN", "20"))
 ITERS = int(os.environ.get("KZG_BENCH_ITERS", "2"))
@@ -61,7 +71,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from kzg_tpu.constants import R
     from kzg_tpu.fields import FR, FP
     from kzg_tpu.curve import G1, g1_generator_device
     from kzg_tpu.msm.pippenger import _msm_impl, _msm_impl_v2, pick_window
@@ -77,31 +86,68 @@ def main():
 
     rng = np.random.default_rng(42)
 
+    def rand_mont(field, count):
+        """Uniform-ish field elements in Montgomery form: limbs drawn in
+        numpy (vectorized) + ONE on-device to_mont. The per-int Python
+        encode loop costs minutes at 2^20 on this 1-core host. The top
+        limb is masked so values stay < 2^(16L-2) (< modulus), keeping
+        every downstream digit/window live except the top two bits."""
+        limbs = rng.integers(
+            0, 1 << 16, size=(field.L, count), dtype=np.uint32
+        )
+        limbs[-1] &= 0x3FFF
+        return jax.jit(field.to_mont)(jnp.asarray(limbs))
+
     # ---- field-mul peaks (speed-of-light units) -------------------------
     def mul_peak(field, lanes):
-        vals = rng.integers(1, 1 << 60, size=lanes + 1, dtype=np.int64)
-        a = jnp.asarray(field.encode([int(v) for v in vals[:lanes]]))
-        b = jnp.asarray(field.encode([int(v) for v in vals[1:]]))
-        run = jax.jit(lambda x, y: field.mul(x, y))
+        # Difference two in-kernel chain lengths so launch/dispatch/tunnel
+        # fixed costs cancel: a single-mul timing is overhead-bound on this
+        # device and understates the peak several-fold (round-1 "MFU 3.8").
+        from kzg_tpu.fields.pallas_field import make_mul_chain, pallas_enabled
+
+        a = rand_mont(field, lanes)
+        b = rand_mont(field, lanes)
         variants = [jnp.roll(a, i, axis=-1) for i in range(4)]
         jax.block_until_ready(variants)
+        if pallas_enabled():
+            # Sustained rate at a fixed canonical chain length: one launch
+            # amortized over k2 dependent in-kernel muls. On this device the
+            # MARGINAL in-kernel mul cost keeps shrinking with chain length
+            # (launch/dispatch dominates; compute is near-free), so a pure
+            # compute roofline is unbounded — the sustained-k2 rate is the
+            # stable, judgeable speed-of-light unit. k=1 timing is recorded
+            # as the per-launch fixed cost.
+            k1, k2 = 1, 65
+            run1 = make_mul_chain(field, k1)
+            run2 = make_mul_chain(field, k2)
+            dt1 = _timeit(lambda v: run1(v, b), variants, iters=3)
+            dt2 = _timeit(lambda v: run2(v, b), variants, iters=3)
+            name = "fr" if field is FR else "fp"
+            extras[f"{name}_launch_overhead_ms"] = round(dt1 * 1e3, 2)
+            extras[f"{name}_mul_marginal_per_sec"] = round(
+                lanes * (k2 - k1) / max(dt2 - dt1, 1e-9), 1
+            )
+            return lanes * k2 / dt2
+        run = jax.jit(lambda x, y: field.mul(x, y))
         dt = _timeit(lambda v: run(v, b), variants, iters=3)
         return lanes / dt
 
     fp_peak = None
     if not SKIP_PEAKS:
+        _note("measuring Fr mul peak")
         fr_peak = mul_peak(FR, 1 << 19)
+        _note("measuring Fp mul peak")
         fp_peak = mul_peak(FP, 1 << 19)
         extras["fr_mul_peak_per_sec"] = round(fr_peak, 1)
         extras["fp_mul_peak_per_sec"] = round(fp_peak, 1)
 
         # ---- NTT at 2^LOG_N ---------------------------------------------
+        _note(f"NTT 2^{LOG_N}: building domain + encoding input")
         dom = Domain(LOG_N)
-        x = jnp.asarray(FR.encode(
-            [int(v) % R for v in rng.integers(1, 1 << 62, size=n)]
-        ))
+        x = rand_mont(FR, n)
         xvars = [jnp.roll(x, i + 1, axis=-1) for i in range(3)] + [x]
         jax.block_until_ready(xvars)
+        _note("NTT: compiling + timing")
         ntt_dt = _timeit(lambda v: dom.ntt(v), xvars, iters=3)
         butterflies = (n // 2) * LOG_N
         ntt_rate = butterflies / ntt_dt
@@ -111,19 +157,15 @@ def main():
 
     # ---- MSM at 2^LOG_N -------------------------------------------------
     # point batch: k*G for random 30-bit k via the batched ladder
+    _note(f"MSM 2^{LOG_N}: generating point batch")
     ks = rng.integers(1, 1 << 30, size=n, dtype=np.int64)
     bits = ((ks[None, :] >> np.arange(30)[:, None]) & 1).astype(np.uint32)
     pts = G1.to_affine(
         G1.scalar_mul_bits(g1_generator_device(n), jnp.asarray(bits))
     )
-    # full-range 255-bit scalars (uniform mod r) — the real workload
-    words = rng.integers(0, 1 << 62, size=(n, 5), dtype=np.int64)
-    scalars_int = [
-        (int(w[0]) | int(w[1]) << 62 | int(w[2]) << 124 | int(w[3]) << 186
-         | int(w[4]) << 248) % R
-        for w in words
-    ]
-    scalars = jnp.asarray(FR.encode(scalars_int))
+    # full-range (254-bit) scalars — the real workload
+    _note("MSM: scalars encoded")
+    scalars = rand_mont(FR, n)
     impl = get_config().msm_impl
     if impl == "v1":
         msm_fn = _msm_impl
@@ -139,6 +181,7 @@ def main():
     )
     svars = [jnp.roll(scalars, i + 1, axis=-1) for i in range(ITERS)] + [scalars]
     jax.block_until_ready((pts, svars))
+    _note("MSM: compiling + timing")
     dt = _timeit(lambda s: run(pts[0], pts[1], pts[2], s), svars)
     pps = n / dt
 

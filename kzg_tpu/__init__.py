@@ -20,20 +20,35 @@ if not _os.environ.get("KZG_TPU_NO_COMPILE_CACHE"):
 
     def _machine_tag() -> str:
         # XLA:CPU caches AOT machine code; reusing entries compiled on a
-        # host with different CPU features segfaults (observed SIGSEGV from
-        # avx512-targeted cache entries). Key the cache dir by CPU flags.
+        # host with a different CPU segfaults or SIGILLs (observed SIGSEGV,
+        # and cpu_aot_loader errors about +prefer-no-scatter — an XLA
+        # tuning feature that does NOT show up in /proc/cpuinfo flags, so
+        # a flags-only hash can collide across hosts XLA targets
+        # differently). Key the cache dir by model name + stepping +
+        # microcode + flags + jaxlib version.
         import hashlib
 
+        parts = []
+        try:
+            import jaxlib
+
+            parts.append(getattr(jaxlib, "__version__", ""))
+        except Exception:  # noqa: BLE001 - tag is best-effort
+            pass
         try:
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
-                        return hashlib.sha256(line.encode()).hexdigest()[:12]
+                    key = line.split(":", 1)[0].strip()
+                    if key in ("model name", "stepping", "microcode",
+                               "cpu family", "model", "flags"):
+                        parts.append(line.strip())
+                    if key == "power management":  # end of first CPU block
+                        break
         except OSError:
-            pass
-        import platform
+            import platform
 
-        return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+            parts.append(platform.processor())
+        return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:12]
 
     _cache_dir = _os.environ.get(
         "KZG_TPU_COMPILE_CACHE_DIR",

@@ -260,6 +260,29 @@ def make_mul(field, interpret=False):
     return mul
 
 
+def make_mul_chain(field, k, interpret=False):
+    """k back-to-back dependent Montgomery multiplies in ONE kernel launch.
+
+    Speed-of-light probe for the bench roofline: timing two chain lengths
+    and differencing cancels every fixed cost (kernel launch, dispatch,
+    host round-trip), leaving the pure in-VMEM mul rate. A single-mul
+    timing is launch-overhead-bound on this device and understates the
+    peak several-fold (round-1 'MFU 3.8' artifact)."""
+    ops = PallasFieldOps(field)
+
+    def body(a, b):
+        acc = a
+        for _ in range(k):
+            acc = ops.mul(acc, b)
+        return acc
+
+    @jax.jit
+    def mul_chain(a, b):
+        return _run_elementwise(field, body, [a, b], 1, interpret)
+
+    return mul_chain
+
+
 def make_add(field, interpret=False):
     ops = PallasFieldOps(field)
 

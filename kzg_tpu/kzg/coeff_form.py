@@ -33,7 +33,11 @@ from ..poly import Polynomial, vanishing_poly, lagrange_interpolation
 from ..poly.polynomial import _pad_to
 from ..oracle import ec_neg, ec_add, ec_mul
 from ..hostcrypto import multi_pairing_check
-from .errors import PointNotOnPolynomial, BatchedPointsNotOnPolynomial
+from .errors import (
+    PointNotOnPolynomial,
+    BatchedPointsNotOnPolynomial,
+    PolynomialDegreeTooLarge,
+)
 from .setup import KZGParams
 
 
@@ -189,6 +193,14 @@ class KZGVerifier:
         """e(w, h^Z) == e(C / g^r, h)  (coeff_form.rs:144-182)."""
         xs_d = jnp.asarray(FR.encode([x % R for x in xs]))
         z = vanishing_poly(xs_d)  # op_tree product in the reference
+        if z.num_coeffs() > self.params.hs[0].shape[-1]:
+            # the k-point vanishing poly has k+1 coeffs; the reference would
+            # panic on the hs slice (coeff_form.rs:164) — raise typed instead
+            # of silently truncating into a shape error downstream
+            raise PolynomialDegreeTooLarge(
+                f"batched verify at {len(xs)} points needs {z.num_coeffs()} "
+                f"G2 powers, setup has {self.params.hs[0].shape[-1]}"
+            )
         hz = msm_g2(
             tuple(t[..., : z.num_coeffs()] for t in self.params.hs), z.trimmed()
         )

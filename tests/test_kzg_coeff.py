@@ -132,12 +132,16 @@ def test_batched_open_verify(params, rngmod):
 
 
 def test_batched_at_num_coeffs_points(params, rngmod):
-    # reference coeff_form.rs:377-398: open at num_coeffs points
+    # reference coeff_form.rs:377-398 (test_eval_batched_all_points): open a
+    # polynomial at ALL its num_coeffs points. The reference sizes the setup
+    # one larger than the polynomial (test_setup::<15> with a 14-coeff
+    # polynomial) because the vanishing poly of k points has k+1 coeffs and
+    # must fit the G2 SRS — so the polynomial here has N-1 coeffs.
     prover, verifier = KZGProver(params), KZGVerifier(params)
-    cs = [rngmod.randrange(R) for _ in range(N)]
+    cs = [rngmod.randrange(R) for _ in range(N - 1)]
     p = Polynomial.from_ints(cs)
     c = prover.commit(p)
-    xs = [rngmod.randrange(R) for _ in range(N)]
+    xs = [rngmod.randrange(R) for _ in range(N - 1)]
     ys = [py_eval(cs, x) for x in xs]
     bw = prover.create_witness_batched(p, xs, ys)
     assert verifier.verify_eval_batched(c, bw, xs)
