@@ -56,6 +56,14 @@ class KZGConfig:
     # point count at which multipoint evaluation switches direct -> tree
     tree_eval_threshold: int = 64
 
+    # --- NTT -------------------------------------------------------------
+    # domains of size >= 2^this use the four-step (Bailey) decomposition:
+    # two passes of sqrt(n)-sized NTTs along the MAJOR axis (all inter-stage
+    # data movement is >= sqrt(n)-element contiguous chunks instead of the
+    # Pease element shuffle) + one twiddle multiply + one transpose. Small
+    # domains keep the single-pass constant-geometry loop.
+    ntt_four_step_min_exp: int = 16
+
     # --- pairing / verification ----------------------------------------
     # "auto": native C++ host engine, falling back to the Python oracle;
     # "host": same; "device": run the pairing checks on the TPU
@@ -78,6 +86,8 @@ class KZGConfig:
             raise ValueError(f"bad msm_impl {self.msm_impl!r}")
         if not (2 <= self.fixed_base_window <= 16):
             raise ValueError("fixed_base_window must be in [2, 16]")
+        if not (2 <= self.ntt_four_step_min_exp):
+            raise ValueError("ntt_four_step_min_exp must be >= 2")
         return self
 
 

@@ -283,6 +283,27 @@ def make_mul_chain(field, k, interpret=False):
     return mul_chain
 
 
+def make_ntt_stage(field, interpret=False):
+    """Fused DIF butterfly stage kernel: (a, b, w) of (L, B) ->
+    (u, v) = (a + b, (a - b) * w), both (L, B).
+
+    One Pallas launch per stage — butterfly and Montgomery multiply stay in
+    VMEM. (An element-interleaving single-output variant was tried and
+    rejected: Mosaic cannot lower the (8,128,2)->(16,128) lane shape cast
+    — "infer-vector-layout: unsupported shape cast"; the inter-stage data
+    movement is instead minimised by the four-step layout in ntt/domain.)"""
+    ops = PallasFieldOps(field)
+
+    def body(a, b, w):
+        return ops.add(a, b), ops.mul(ops.sub(a, b), w)
+
+    @jax.jit
+    def stage(a, b, w):
+        return _run_elementwise(field, body, [a, b, w], 2, interpret)
+
+    return stage
+
+
 def make_add(field, interpret=False):
     ops = PallasFieldOps(field)
 

@@ -24,35 +24,42 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import R, FR_ROOT_OF_UNITY, FR_TWO_ADICITY, FR_GENERATOR
-from ..fields import FR
-from ..fields.pallas_field import (
-    PallasFieldOps,
-    _run_elementwise,
-    pallas_enabled,
+from ..constants import (
+    R,
+    FR_ROOT_OF_UNITY,
+    FR_TWO_ADICITY,
+    FR_GENERATOR,
+    LIMB_BITS,
 )
+from ..fields import FR
+from ..fields.pallas_field import pallas_enabled
 from ..kzg.errors import PolynomialDegreeTooLarge
 
-_butterfly = None
+_ntt_stage = None
 
 
-def _get_butterfly():
-    """Fused DIF butterfly kernel: (a, b, w) -> (a + b, (a - b) * w).
+def _get_ntt_stage():
+    """Fused DIF butterfly stage kernel (pallas_field.make_ntt_stage):
+    (a, b, w) of (L, B) -> (u, v) = (a + b, (a - b) * w). One Pallas
+    launch per stage; butterfly and Montgomery multiply stay in VMEM."""
+    global _ntt_stage
+    if _ntt_stage is None:
+        from ..fields.pallas_field import make_ntt_stage
 
-    One Pallas kernel per stage instead of three separate limb ops — the
-    whole butterfly (including the Montgomery multiply) stays in VMEM."""
-    global _butterfly
-    if _butterfly is None:
-        ops = PallasFieldOps(FR)
+        _ntt_stage = make_ntt_stage(FR)
+    return _ntt_stage
 
-        def body(a, b, w):
-            return ops.add(a, b), ops.mul(ops.sub(a, b), w)
 
-        def bf(a, b, w):
-            return _run_elementwise(FR, body, [a, b, w], 2)
-
-        _butterfly = bf
-    return _butterfly
+def _np_mod_neg(vals: np.ndarray) -> np.ndarray:
+    """Montgomery negation p - x on (L, m) 16-bit-limb arrays of NONZERO
+    field elements, vectorized in numpy (host-side constant folding)."""
+    diff = FR.mod_np.astype(np.int64).reshape(-1, 1) - vals.astype(np.int64)
+    for i in range(diff.shape[0] - 1):
+        borrow = diff[i] < 0
+        diff[i] += borrow.astype(np.int64) << LIMB_BITS
+        diff[i + 1] -= borrow
+    assert (diff >= 0).all()
+    return diff.astype(np.uint32)
 
 
 def _bitrev_perm(log_n: int) -> np.ndarray:
@@ -151,6 +158,102 @@ class Domain:
             cur = cur * base % R
         return FR.encode(ints)
 
+    # ---- four-step (Bailey) decomposition ------------------------------------
+
+    def _four_step_consts(self):
+        """(expR, expC, Wfwd, Winv): twiddle matrices W[k2, j1] =
+        omega^(+-j1*k2) as numpy (L, C, R) constants, built once per domain
+        by fancy-indexing the full power table (no Python-int loops: the
+        upper half omega^(n/2 + i) = -omega^i is a vectorized limb
+        negation of the cached half-table)."""
+        if getattr(self, "_fs", None) is None:
+            exp_r = self.exp // 2
+            exp_c = self.exp - exp_r
+            rn, cn = 1 << exp_r, 1 << exp_c
+            pw_f = np.concatenate(
+                [self.tw_fwd, _np_mod_neg(self.tw_fwd)], axis=1
+            )
+            pw_i = np.concatenate(
+                [self.tw_inv, _np_mod_neg(self.tw_inv)], axis=1
+            )
+            idx = np.outer(
+                np.arange(cn, dtype=np.int64), np.arange(rn, dtype=np.int64)
+            ) % self.d
+            self._fs = (exp_r, exp_c, pw_f[:, idx], pw_i[:, idx])
+        return self._fs
+
+    def _ntt_four_step(self, x, inverse: bool):
+        """n = R*C NTT as C-point NTTs + twiddle + transpose + R-point NTTs
+        (Bailey; the in-device analog of the distributed four-step NTT in
+        parallel/ntt.py, and of the reference's parallel_fft decomposition,
+        ft.rs:336-387). With j = j1 + R*j2 and k = k2 + C*k1:
+
+            Y[k2, j1] = NTT_C over j2 of x[j1 + R*j2]     (axis -2)
+            Z[k2, j1] = Y[k2, j1] * omega^(j1*k2)
+            X[k2 + C*k1] = NTT_R over j1 of Z[., k2]      (axis -2 after
+                                                           one transpose)
+
+        Every butterfly stage moves >= min(R, C)-element contiguous chunks
+        (vs the Pease stage's element-granularity perfect shuffle), the
+        result lands in natural order with no extra permutation, and the
+        sub-NTTs' own 1/C and 1/R inverse scalings compose to 1/n."""
+        exp_r, exp_c, wf, wi = self._four_step_consts()
+        rn, cn = 1 << exp_r, 1 << exp_c
+        lead = x.shape[1:-1]
+        x = x.reshape(x.shape[:-1] + (cn, rn))  # [j2, j1]
+        x = Domain(exp_c)._ntt_axis2(x, inverse)  # -> [k2, j1]
+        w = (wi if inverse else wf).reshape(
+            (FR.L,) + (1,) * len(lead) + (cn, rn)
+        )
+        x = FR.mul(x, w)
+        x = jnp.swapaxes(x, -1, -2)  # [j1, k2]
+        x = Domain(exp_r)._ntt_axis2(x, inverse)  # -> [k1, k2]
+        return x.reshape(x.shape[:-2] + (self.d,))
+
+    def _ntt_axis2(self, x, inverse: bool):
+        """The _ntt stage loop transforming axis -2 of (L, *lead, m, Bt):
+        identical algorithm, but every slice/interleave/bit-reversal moves
+        whole Bt-element rows (contiguous chunks) instead of single
+        elements."""
+        m = self.d
+        if m == 1:
+            return x
+        tw = self.tw_inv if inverse else self.tw_fwd  # numpy (L, m/2)
+        h = m // 2
+        lead = x.shape[1:-2]
+        bt = x.shape[-1]
+        nl = len(lead)
+        flat = h * bt
+        for d_ in lead:
+            flat *= d_
+        use_kernel = pallas_enabled() and flat % 1024 == 0
+        stage = _get_ntt_stage() if use_kernel else None
+        full = (FR.L,) + tuple(lead) + (h, bt)
+        for s in range(self.exp):
+            a = x[..., :h, :]
+            b = x[..., h:, :]
+            step = 1 << s
+            w_np = np.repeat(tw[:, ::step][:, : h // step], step, axis=1)
+            w = w_np.reshape((FR.L,) + (1,) * nl + (h, 1))
+            if use_kernel:
+                wb = jnp.broadcast_to(jnp.asarray(w), full)
+                u, v = stage(
+                    a.reshape(FR.L, -1),
+                    b.reshape(FR.L, -1),
+                    wb.reshape(FR.L, -1),
+                )
+                u = u.reshape(full)
+                v = v.reshape(full)
+            else:
+                u = FR.add(a, b)
+                v = FR.mul(FR.sub(a, b), w)
+            x = jnp.stack([u, v], axis=-2).reshape(x.shape)
+        x = jnp.take(x, self.bitrev, axis=-2)
+        if inverse:
+            dinv = self._dinv_np.reshape((FR.L,) + (1,) * nl + (1, 1))
+            x = FR.mul(x, dinv)
+        return x
+
     # ---- core transform -----------------------------------------------------
 
     def _ntt(self, x, inverse: bool):
@@ -162,6 +265,10 @@ class Domain:
         n = self.d
         if n == 1:
             return x
+        from ..config import get_config
+
+        if self.exp >= max(4, get_config().ntt_four_step_min_exp):
+            return self._ntt_four_step(x, inverse)
         tw = self.tw_inv if inverse else self.tw_fwd
         logn = self.exp
         h = n // 2
@@ -173,17 +280,22 @@ class Domain:
         for d in bshape:
             flat_h *= d
         if pallas_enabled() and flat_h % 1024 == 0:
-            # unrolled stage loop with one fused butterfly kernel per stage
-            # (the per-stage twiddle gather stays in XLA)
-            bf = _get_butterfly()
+            # unrolled stage loop, one fused butterfly kernel per stage;
+            # the stage-s twiddle table (tw[k * 2^s] each repeated 2^s
+            # times) comes from a strided slice + broadcast instead of an
+            # arbitrary-index gather on the scalar core
+            stage = _get_ntt_stage()
             full = (FR.L,) + bshape + (h,)
             for s in range(logn):
                 a = x[..., :h]
                 b = x[..., h:]
-                low = (1 << s) - 1
-                w = jnp.take(tw, jidx & ~low, axis=1).reshape(wshape)
+                step = 1 << s
+                wk = jax.lax.slice_in_dim(tw, 0, h, stride=step, axis=1)
+                w = jnp.broadcast_to(
+                    wk[:, :, None], (FR.L, h // step, step)
+                ).reshape(wshape)
                 wb = jnp.broadcast_to(w, full)
-                u, v = bf(
+                u, v = stage(
                     a.reshape(FR.L, -1),
                     b.reshape(FR.L, -1),
                     wb.reshape(FR.L, -1),

@@ -91,3 +91,31 @@ def test_compute_omega_matches_reference_semantics():
     assert d == 128 and exp == 7
     assert pow(omega, d, R) == 1
     assert pow(omega, d // 2, R) != 1
+
+
+def test_four_step_matches_standard(rng):
+    """Four-step (Bailey) decomposition == single-pass loop == exact
+    roundtrip, forward and inverse, plain and batched (the production
+    gate only enables it at >= 2^ntt_four_step_min_exp; here it is forced
+    on at a small size and pinned to the standard path)."""
+    from kzg_tpu.config import configure, get_config
+
+    exp = 6  # odd split too: also exercise exp=5 (R=4, C=8)
+    for e in (5, exp):
+        dom = Domain(e)
+        coeffs = [rng.randrange(R) for _ in range(dom.d)]
+        x = jnp.asarray(FR.encode(coeffs))
+        want_f = FR.decode(dom._ntt(x, inverse=False))
+        old = get_config().ntt_four_step_min_exp
+        configure(ntt_four_step_min_exp=4)
+        try:
+            got_f = dom._ntt(x, inverse=False)
+            got_back = dom._ntt(got_f, inverse=True)
+            # batched: two stacked copies, batch dim between limbs and n
+            xb = jnp.stack([x, jnp.roll(x, 1, axis=-1)], axis=1)
+            got_b = dom._ntt(xb, inverse=False)
+        finally:
+            configure(ntt_four_step_min_exp=old)
+        assert FR.decode(got_f) == want_f
+        assert FR.decode(got_back) == coeffs
+        assert FR.decode(got_b[:, 0]) == want_f

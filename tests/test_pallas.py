@@ -99,3 +99,18 @@ def test_g1_madd_kernel_matches_xla(rng):
     exp = ref.madd(p, q_t, skip_j)
     for g_, e_ in zip(got, exp):
         assert np.array_equal(np.asarray(g_), np.asarray(e_))
+
+
+def test_ntt_stage_kernel(rng):
+    """Fused butterfly stage kernel (make_ntt_stage): u = a+b,
+    v = (a-b)*w against Python-int arithmetic."""
+    m = FR.modulus
+    xs, ys = _pairs(FR, rng)
+    ws = [rng.randrange(m) for _ in range(B)]
+    a = jnp.asarray(FR.encode(xs))
+    b = jnp.asarray(FR.encode(ys))
+    w = jnp.asarray(FR.encode(ws))
+    stage = pf.make_ntt_stage(FR, interpret=True)
+    u, v = stage(a, b, w)
+    assert FR.decode(u) == [(x + y) % m for x, y in zip(xs, ys)]
+    assert FR.decode(v) == [(x - y) * t % m for x, y, t in zip(xs, ys, ws)]
