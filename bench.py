@@ -73,7 +73,7 @@ def main():
 
     from kzg_tpu.fields import FR, FP
     from kzg_tpu.curve import G1, g1_generator_device
-    from kzg_tpu.msm.pippenger import _msm_impl, _msm_impl_v2, pick_window
+    from kzg_tpu.msm.pippenger import pick_window
     from kzg_tpu.ntt import Domain
     from kzg_tpu.config import get_config, configure
 
@@ -156,33 +156,38 @@ def main():
         extras["ntt_seconds"] = round(ntt_dt, 4)
 
     # ---- MSM at 2^LOG_N -------------------------------------------------
-    # point batch: k*G for random 30-bit k via the batched ladder
-    _note(f"MSM 2^{LOG_N}: generating point batch")
-    ks = rng.integers(1, 1 << 30, size=n, dtype=np.int64)
+    # point batch: k*G for random 30-bit k via the batched ladder. Above
+    # 2^20 the batch is a TILED 2^20 generation: the ladder at full width
+    # OOMs HBM (measured: 20G needed at 2^24 vs 15.75G), and tiling is
+    # workload-neutral for Pippenger — buckets are keyed by scalar digits,
+    # never by point identity, so repeated points change nothing about the
+    # sort/accumulate/reduce work.
+    gen_log = min(LOG_N, 20)
+    gn = 1 << gen_log
+    _note(f"MSM 2^{LOG_N}: generating point batch (2^{gen_log} tiled)")
+    ks = rng.integers(1, 1 << 30, size=gn, dtype=np.int64)
     bits = ((ks[None, :] >> np.arange(30)[:, None]) & 1).astype(np.uint32)
     pts = G1.to_affine(
-        G1.scalar_mul_bits(g1_generator_device(n), jnp.asarray(bits))
+        G1.scalar_mul_bits(g1_generator_device(gn), jnp.asarray(bits))
     )
+    if gn < n:
+        reps = n // gn
+        pts = tuple(
+            jnp.tile(t, (1,) * (t.ndim - 1) + (reps,)) for t in pts
+        )
     # full-range (254-bit) scalars — the real workload
     _note("MSM: scalars encoded")
     scalars = rand_mont(FR, n)
-    impl = get_config().msm_impl
-    if impl == "v1":
-        msm_fn = _msm_impl
-    elif impl == "v1s":
-        from kzg_tpu.msm.pippenger import _msm_impl_signed
-        msm_fn = _msm_impl_signed
-    elif impl == "affine":
-        msm_fn = lambda *a: _msm_impl_v2(*a, affine=True)  # noqa: E731
-    else:
-        msm_fn = _msm_impl_v2
-    run = jax.jit(
-        lambda x_, y_, i_, s_: msm_fn(G1, x_, y_, i_, FR.from_mont(s_), c)
-    )
+    # the PUBLIC msm entry: impl selected by config, window by `c`, and
+    # batches > 2^msm_chunk_log stream as sequential chunked partials
+    # (bounds HBM — the one-shot 2^24 MSM needs 26.5G vs 15.75G capacity)
+    from kzg_tpu.msm.pippenger import msm as msm_public
+
+    extras["chunk_log"] = min(get_config().msm_chunk_log, LOG_N)
     svars = [jnp.roll(scalars, i + 1, axis=-1) for i in range(ITERS)] + [scalars]
     jax.block_until_ready((pts, svars))
     _note("MSM: compiling + timing")
-    dt = _timeit(lambda s: run(pts[0], pts[1], pts[2], s), svars)
+    dt = _timeit(lambda s: msm_public(G1, pts, s, c), svars)
     pps = n / dt
 
     # roofline accounting: useful work = every point enters one bucket add

@@ -40,6 +40,12 @@ class KZGConfig:
     # (half the buckets per window + one borrow window). All variants are
     # differentially tested.
     msm_impl: str = "v1"
+    # MSMs larger than 2^this run as sequential chunks of 2^this points
+    # whose Jacobian partials are added — bounds HBM (a one-shot 2^24 MSM
+    # needs ~26.5G vs the chip's 15.75G; measured) the same way the
+    # sharded multi-chip MSM bounds per-device memory (parallel/msm.py),
+    # just sequentially on one chip.
+    msm_chunk_log: int = 22
 
     # --- trusted setup -------------------------------------------------
     # fixed-base window for the SRS ladders (table size = 2^w per window)
@@ -88,6 +94,8 @@ class KZGConfig:
             raise ValueError("fixed_base_window must be in [2, 16]")
         if not (2 <= self.ntt_four_step_min_exp):
             raise ValueError("ntt_four_step_min_exp must be >= 2")
+        if not (4 <= self.msm_chunk_log):
+            raise ValueError("msm_chunk_log must be >= 4")
         return self
 
 

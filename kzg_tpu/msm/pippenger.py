@@ -595,6 +595,15 @@ def _msm_impl_v2(curve, xa, ya, inf, scalars_std, c: int,
 
 
 _jitted = {}
+_adders = {}
+
+
+def _add_jitted(curve):
+    """Cached jitted Jacobian add for combining chunked-MSM partials."""
+    if curve.name not in _adders:
+        cur = curve
+        _adders[curve.name] = jax.jit(lambda p, q: cur.add(p, q))
+    return _adders[curve.name]
 
 
 def msm(curve, points, scalars_mont, c: int | None = None):
@@ -605,6 +614,22 @@ def msm(curve, points, scalars_mont, c: int | None = None):
 
     cfg = get_config()
     n = points[0].shape[-1]
+    chunk = 1 << cfg.msm_chunk_log
+    if n > chunk:
+        # memory-bounded streaming: full Pippenger per 2^msm_chunk_log-point
+        # chunk, Jacobian-add the partials (one tiny add per chunk). Same
+        # decomposition as the sharded multi-chip MSM (parallel/msm.py),
+        # run sequentially on one chip.
+        acc = None
+        for off in range(0, n, chunk):
+            part = msm(
+                curve,
+                tuple(t[..., off: off + chunk] for t in points),
+                scalars_mont[..., off: off + chunk],
+                c,
+            )
+            acc = part if acc is None else _add_jitted(curve)(acc, part)
+        return acc
     if c is None:
         c = cfg.msm_window or pick_window(n)
     if cfg.msm_impl == "v1":

@@ -24,13 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import (
-    R,
-    FR_ROOT_OF_UNITY,
-    FR_TWO_ADICITY,
-    FR_GENERATOR,
-    LIMB_BITS,
-)
+from ..constants import R, FR_ROOT_OF_UNITY, FR_TWO_ADICITY, FR_GENERATOR
 from ..fields import FR
 from ..fields.pallas_field import pallas_enabled
 from ..kzg.errors import PolynomialDegreeTooLarge
@@ -50,16 +44,17 @@ def _get_ntt_stage():
     return _ntt_stage
 
 
-def _np_mod_neg(vals: np.ndarray) -> np.ndarray:
-    """Montgomery negation p - x on (L, m) 16-bit-limb arrays of NONZERO
-    field elements, vectorized in numpy (host-side constant folding)."""
-    diff = FR.mod_np.astype(np.int64).reshape(-1, 1) - vals.astype(np.int64)
-    for i in range(diff.shape[0] - 1):
-        borrow = diff[i] < 0
-        diff[i] += borrow.astype(np.int64) << LIMB_BITS
-        diff[i + 1] -= borrow
-    assert (diff >= 0).all()
-    return diff.astype(np.uint32)
+# Above this exponent no O(n)-sized numpy table is ever built or baked into
+# a traced graph: XLA inlines every non-splat numpy constant as an MLIR
+# dense literal (measured: the NTT module is 67MB at 2^20 and 269MB at
+# 2^22, nearly all of it one twiddle literal), which blows both compile
+# memory and the remote-compile transport. Big domains instead use
+# SPLIT tables: any needed length-n geometric/twiddle vector factors as
+# v[i] = HI[i >> s] * LO[i & (2^s - 1)] with two O(sqrt(n)) tables and one
+# extra elementwise multiply. 17 (not 16) so that the four-step
+# subdomains of every legal exp (<= 31 -> sub-exp <= 16) still have their
+# dense stage tables.
+_BIG_TABLE_EXP = 17
 
 
 def _bitrev_perm(log_n: int) -> np.ndarray:
@@ -122,12 +117,19 @@ class Domain:
         # is a tracer, and caching one in the singleton poisons every later
         # trace (UnexpectedTracerError). numpy constants are safe in both
         # eager and traced contexts (baked in as compile-time constants).
-        self.bitrev = _bitrev_perm(exp)
+        self.bitrev = _bitrev_perm(exp) if exp < _BIG_TABLE_EXP else None
         half = max(1, self.d // 2)
-        self.tw_fwd = self._powers(self.omega, half)
-        self.tw_inv = self._powers(self.omega_inv, half)
-        self.coset_pow = self._powers(self.gen, self.d)
-        self.coset_ipow = self._powers(self.gen_inv, self.d)
+        if exp < _BIG_TABLE_EXP:
+            self.tw_fwd = self._powers(self.omega, half)
+            self.tw_inv = self._powers(self.omega_inv, half)
+            self.coset_pow = self._powers(self.gen, self.d)
+            self.coset_ipow = self._powers(self.gen_inv, self.d)
+        else:
+            # big domain: O(n) tables are never materialised (see
+            # _BIG_TABLE_EXP). The Pease loop is unreachable (the four-step
+            # gate is forced on) and coset multiplies use split tables.
+            self.tw_fwd = self.tw_inv = None
+            self.coset_pow = self.coset_ipow = None
         self._dinv_np = np.asarray(FR.encode([self.d_inv]))[:, 0].reshape(FR.L, 1)
         self._ntt_fwd = jax.jit(partial(self._ntt, inverse=False))
         self._ntt_inv = jax.jit(partial(self._ntt, inverse=True))
@@ -143,8 +145,41 @@ class Domain:
                 )
             )
 
-        self._mul_coset_fwd = _mul_by(self.coset_pow)
-        self._mul_coset_inv = _mul_by(self.coset_ipow)
+        def _mul_split(sc, hi, lo):
+            # elementwise multiply by the geometric vector
+            # v[i] = hi[i >> sc] * lo[i & (2^sc - 1)]: two O(sqrt(n))
+            # tables + one extra multiply instead of one O(n) literal
+            # (see _BIG_TABLE_EXP)
+            def f(x):
+                nb = x.ndim - 2
+                n = x.shape[-1]
+                xs = x.reshape(x.shape[:-1] + (n >> sc, 1 << sc))
+                xs = FR.mul(
+                    xs, hi.reshape((FR.L,) + (1,) * nb + (n >> sc, 1))
+                )
+                xs = FR.mul(
+                    xs, lo.reshape((FR.L,) + (1,) * nb + (1, 1 << sc))
+                )
+                return xs.reshape(x.shape)
+
+            return jax.jit(f)
+
+        if exp < _BIG_TABLE_EXP:
+            self._mul_coset_fwd = _mul_by(self.coset_pow)
+            self._mul_coset_inv = _mul_by(self.coset_ipow)
+        else:
+            sc = exp // 2
+            step = 1 << sc
+            self._mul_coset_fwd = _mul_split(
+                sc,
+                self._powers_step(self.gen, step, self.d >> sc),
+                self._powers(self.gen, step),
+            )
+            self._mul_coset_inv = _mul_split(
+                sc,
+                self._powers_step(self.gen_inv, step, self.d >> sc),
+                self._powers(self.gen_inv, step),
+            )
         self._ready = True
 
     @staticmethod
@@ -158,29 +193,44 @@ class Domain:
             cur = cur * base % R
         return FR.encode(ints)
 
+    @staticmethod
+    def _powers_step(base: int, step: int, count: int):
+        """(16, count) Montgomery numpy array of base^(step*i), i < count."""
+        return Domain._powers(pow(base, step, R), count)
+
     # ---- four-step (Bailey) decomposition ------------------------------------
 
-    def _four_step_consts(self):
-        """(expR, expC, Wfwd, Winv): twiddle matrices W[k2, j1] =
-        omega^(+-j1*k2) as numpy (L, C, R) constants, built once per domain
-        by fancy-indexing the full power table (no Python-int loops: the
-        upper half omega^(n/2 + i) = -omega^i is a vectorized limb
-        negation of the cached half-table)."""
-        if getattr(self, "_fs", None) is None:
+    def _four_step_consts(self, inverse: bool):
+        """(expR, expC, s, WH, WL) for one transform direction: the twiddle
+        matrix W[k2, j1] = omega^(+-j1*k2) in SPLIT form,
+
+            W[k2, j1] = WH[k2, j1 >> s] * WL[k2, j1 & (2^s - 1)],
+
+        two O(n^(3/4))-entry numpy tables instead of one O(n) literal
+        (see _BIG_TABLE_EXP). Built lazily per direction."""
+        key = "_fs_inv" if inverse else "_fs_fwd"
+        if getattr(self, key, None) is None:
             exp_r = self.exp // 2
             exp_c = self.exp - exp_r
             rn, cn = 1 << exp_r, 1 << exp_c
-            pw_f = np.concatenate(
-                [self.tw_fwd, _np_mod_neg(self.tw_fwd)], axis=1
-            )
-            pw_i = np.concatenate(
-                [self.tw_inv, _np_mod_neg(self.tw_inv)], axis=1
-            )
-            idx = np.outer(
-                np.arange(cn, dtype=np.int64), np.arange(rn, dtype=np.int64)
-            ) % self.d
-            self._fs = (exp_r, exp_c, pw_f[:, idx], pw_i[:, idx])
-        return self._fs
+            s = exp_r // 2
+            base = self.omega_inv if inverse else self.omega
+            hi_ints, lo_ints = [], []
+            for k2 in range(cn):
+                q = pow(base, k2, R)
+                qs = pow(q, 1 << s, R)
+                cur = 1
+                for _ in range(rn >> s):  # WH row: powers of base^(k2<<s)
+                    hi_ints.append(cur)
+                    cur = cur * qs % R
+                cur = 1
+                for _ in range(1 << s):  # WL row: powers of base^k2
+                    lo_ints.append(cur)
+                    cur = cur * q % R
+            wh = FR.encode(hi_ints).reshape(FR.L, cn, rn >> s)
+            wl = FR.encode(lo_ints).reshape(FR.L, cn, 1 << s)
+            setattr(self, key, (exp_r, exp_c, s, wh, wl))
+        return getattr(self, key)
 
     def _ntt_four_step(self, x, inverse: bool):
         """n = R*C NTT as C-point NTTs + twiddle + transpose + R-point NTTs
@@ -197,15 +247,17 @@ class Domain:
         (vs the Pease stage's element-granularity perfect shuffle), the
         result lands in natural order with no extra permutation, and the
         sub-NTTs' own 1/C and 1/R inverse scalings compose to 1/n."""
-        exp_r, exp_c, wf, wi = self._four_step_consts()
+        exp_r, exp_c, s, wh, wl = self._four_step_consts(inverse)
         rn, cn = 1 << exp_r, 1 << exp_c
-        lead = x.shape[1:-1]
+        nl = len(x.shape[1:-1])
         x = x.reshape(x.shape[:-1] + (cn, rn))  # [j2, j1]
         x = Domain(exp_c)._ntt_axis2(x, inverse)  # -> [k2, j1]
-        w = (wi if inverse else wf).reshape(
-            (FR.L,) + (1,) * len(lead) + (cn, rn)
-        )
-        x = FR.mul(x, w)
+        # twiddle multiply in split form: view j1 as (jhi, jlo) and apply
+        # WH[k2, jhi] then WL[k2, jlo]
+        xs = x.reshape(x.shape[:-1] + (rn >> s, 1 << s))
+        xs = FR.mul(xs, wh.reshape((FR.L,) + (1,) * nl + (cn, rn >> s, 1)))
+        xs = FR.mul(xs, wl.reshape((FR.L,) + (1,) * nl + (cn, 1, 1 << s)))
+        x = xs.reshape(x.shape)
         x = jnp.swapaxes(x, -1, -2)  # [j1, k2]
         x = Domain(exp_r)._ntt_axis2(x, inverse)  # -> [k1, k2]
         return x.reshape(x.shape[:-2] + (self.d,))
@@ -267,7 +319,12 @@ class Domain:
             return x
         from ..config import get_config
 
-        if self.exp >= max(4, get_config().ntt_four_step_min_exp):
+        # config can lower the four-step gate (tests force it small) but
+        # not raise it past _BIG_TABLE_EXP: big domains have no dense
+        # stage tables, so the Pease loop is not an option there
+        if self.exp >= max(
+            4, min(get_config().ntt_four_step_min_exp, _BIG_TABLE_EXP)
+        ):
             return self._ntt_four_step(x, inverse)
         tw = self.tw_inv if inverse else self.tw_fwd
         logn = self.exp

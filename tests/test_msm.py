@@ -159,3 +159,18 @@ def test_msm_v1s_signed_windows(rng):
     with _with_config(small_msm_threshold=16, msm_impl="v1s"):
         got = run_g1(pts, scalars, 5)
     assert got == oracle_msm(pts, scalars)
+
+
+def test_msm_chunked_matches_unchunked(rng):
+    """msm_chunk_log streaming: a 64-point MSM split into 16-point chunks
+    (sequential Pippenger partials + Jacobian adds) == one-shot == oracle.
+    Also a non-power-of-two tail chunk (n=40, chunk=16 -> 16+16+8)."""
+    g = g1_generator()
+    for n in (64, 40):
+        pts = [ec_mul(g, rng.randrange(1, R)) for _ in range(n)]
+        scalars = [rng.randrange(R) for _ in range(n)]
+        scalars[0] = 0
+        want = oracle_msm(pts, scalars)
+        with _with_config(small_msm_threshold=4, msm_chunk_log=4):
+            got = run_g1(pts, scalars, 4)
+        assert got == want, f"chunked MSM mismatch at n={n}"
