@@ -1,3 +1,4 @@
-from .domain import Domain
+from .domain import Domain, compute_omega
+from .evaluation_domain import EvaluationDomain
 
-__all__ = ["Domain"]
+__all__ = ["Domain", "EvaluationDomain", "compute_omega"]

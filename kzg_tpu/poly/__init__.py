@@ -4,6 +4,7 @@ from .subproduct import (
     vanishing_poly,
     poly_derivative,
     lagrange_interpolation,
+    lagrange_interpolation_with_tree,
     multi_eval_tree,
 )
 from .newton import inv_series, newton_divmod
@@ -15,6 +16,7 @@ __all__ = [
     "vanishing_poly",
     "poly_derivative",
     "lagrange_interpolation",
+    "lagrange_interpolation_with_tree",
     "multi_eval_tree",
     "inv_series",
     "newton_divmod",

@@ -208,6 +208,14 @@ class Polynomial:
         return cls(FR.zeros((1,)), 0)
 
     @classmethod
+    def from_scalar(cls, scalar):
+        """Constant polynomial (polynomial.rs:56-61); accepts an int or an
+        (L, 1) limb array."""
+        if isinstance(scalar, int):
+            return cls(jnp.asarray(FR.encode([scalar])), 0)
+        return cls(scalar, 0)
+
+    @classmethod
     def new_zero_with_size(cls, n: int):
         return cls(FR.zeros((n,)), 0)
 
@@ -242,6 +250,34 @@ class Polynomial:
         idx = np.nonzero(nz)[0]
         self.degree = int(idx[-1]) if len(idx) else 0
         return self
+
+    def shrink_degree(self):
+        """Like fixup_degree but only scans at or below the current tracked
+        degree (polynomial.rs:117-120)."""
+        nz = ~np.asarray(FR.is_zero(self.trimmed()))
+        idx = np.nonzero(nz)[0]
+        self.degree = int(idx[-1]) if len(idx) else 0
+        return self
+
+    def truncate(self, degree: int):
+        """Drop all terms above `degree` and set the tracked degree
+        (polynomial.rs:107-110). Returns a new Polynomial (immutable
+        arrays)."""
+        return Polynomial(self.coeffs[..., : degree + 1], degree)
+
+    def reverse(self):
+        """Coefficient reversal rev(f)(X) = X^deg * f(1/X)
+        (polynomial.rs:112-115) — the transform behind Newton-inverse
+        division (newton.py)."""
+        return Polynomial(jnp.flip(self.trimmed(), axis=-1), self.degree)
+
+    def lead(self):
+        """Leading coefficient as an int (polynomial.rs:127-129)."""
+        return FR.decode(self.coeffs[..., self.degree : self.degree + 1])[0]
+
+    def constant(self):
+        """Constant term as an int (polynomial.rs:131-133)."""
+        return FR.decode(self.coeffs[..., 0:1])[0]
 
     def to_ints(self):
         return FR.decode(self.trimmed())
@@ -298,6 +334,10 @@ class Polynomial:
 
             return multi_eval_tree(self, pts)
         return _eval_many(self.trimmed(), pts)
+
+    # reference name (polynomial.rs:229-233)
+    def multi_eval(self, pts):
+        return self.eval_many(pts)
 
     def long_division(self, divisor):
         """(quotient, remainder or None) — None iff division is exact,

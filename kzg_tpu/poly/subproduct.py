@@ -92,6 +92,18 @@ class SubProductTree:
         return Polynomial(summed, z.degree - 1)
 
 
+def lagrange_interpolation_with_tree(xs, ys, tree: "SubProductTree") -> Polynomial:
+    """Interpolation reusing a prebuilt SubProductTree (reference
+    polynomial.rs:237-264): weights c_i = y_i / m'(x_i) with m = tree
+    root, then one linear-mod-combination. Amortises the tree across
+    repeated interpolations at the same points (the batched-witness path
+    builds the tree once for remainder + vanishing use)."""
+    mp = poly_derivative(tree.product)
+    w = mp.eval_many(xs)  # m'(x_i)  (L, k)
+    cs = FR.mul(ys, FR.batch_inv(w))
+    return tree.linear_mod_combination(cs)
+
+
 def multi_eval_tree(poly: Polynomial, xs):
     """Evaluate `poly` at any (L, k) point batch via the remainder tree
     (k padded to a power of two with copies of x_0 — the padded lanes are
