@@ -3,6 +3,8 @@ from .errors import (
     PolynomialDegreeTooLarge,
     PointNotOnPolynomial,
     BatchedPointsNotOnPolynomial,
+    NoPolynomial,
+    BatchOpeningZeroRemainder,
 )
 from .setup import KZGParams, setup, csprng_setup
 from .coeff_form import KZGProver, KZGVerifier, KZGBatchWitness
@@ -22,6 +24,8 @@ __all__ = [
     "PolynomialDegreeTooLarge",
     "PointNotOnPolynomial",
     "BatchedPointsNotOnPolynomial",
+    "NoPolynomial",
+    "BatchOpeningZeroRemainder",
     "KZGParams",
     "setup",
     "csprng_setup",

@@ -19,3 +19,15 @@ class PointNotOnPolynomial(KZGError):
 class BatchedPointsNotOnPolynomial(KZGError):
     """At least one of a batch of points is not on the polynomial
     (reference src/coeff_form.rs:95-97)."""
+
+
+class NoPolynomial(KZGError):
+    """Operation requires a polynomial that is absent (reference
+    src/lib.rs:29 — declared but never constructed there; kept for a
+    complete error-enum surface)."""
+
+
+class BatchOpeningZeroRemainder(KZGError):
+    """Batch opening produced a zero remainder where one was required
+    (reference src/lib.rs:33 — declared but never constructed there; kept
+    for a complete error-enum surface)."""

@@ -307,21 +307,37 @@ def _setup_digits_jit(n: int, c: int, s_mont):
 
 
 def _host_engine_preferred() -> bool:
-    """On CPU backends, build the SRS with the native host engine (the blst
-    role) instead of compiling the device ladder graphs: XLA-CPU takes
-    minutes to compile them per shape on small hosts. The device ladders
-    stay the accelerator-backend path and are pinned against the host
-    engine by the slow setup-parity test. Force the device path with
-    KZG_TPU_DEVICE_SETUP=1."""
+    """Engine choice for setup(). Consults config.setup_engine:
+    "host"/"device" force a path; "auto" builds the SRS with the native host
+    engine (the blst role) on CPU backends instead of compiling the device
+    ladder graphs — XLA-CPU takes minutes to compile them per shape on small
+    hosts — and uses the device ladders on accelerator backends. The device
+    ladders are pinned against the host engine by the slow setup-parity
+    test. KZG_TPU_DEVICE_SETUP=1 still forces the device path at call time
+    (back-compat; config reads it once at import)."""
+    from ..config import get_config
+
+    engine = get_config().setup_engine
     if os.environ.get("KZG_TPU_DEVICE_SETUP"):
+        engine = "device"
+    if engine == "device":
         return False
+    from .. import native
+
+    if engine == "host":
+        if not native.available():
+            from ..native import NativeError
+
+            raise NativeError(
+                "setup_engine='host' but the native engine is unavailable "
+                "(kzg_native.so not built?)"
+            )
+        return True
     try:
         if jax.default_backend() != "cpu":
             return False
     except Exception:  # noqa: BLE001
         return False
-    from .. import native
-
     return native.available()
 
 

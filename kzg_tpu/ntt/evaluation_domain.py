@@ -24,6 +24,12 @@ from ..constants import R
 from ..fields import FR
 from .domain import Domain, compute_omega
 
+# distribute_powers table cache: (g mod R, d) -> device table or (hi, lo)
+_POWER_TABLE_CACHE = {}
+# above this exp, hold power tables as hi/lo sqrt factors (matches
+# domain.py's split-table threshold for twiddles)
+_SPLIT_POWERS_EXP = 17
+
 
 def _powers_device(g_int: int, count: int):
     """[1, g, g^2, ..., g^(count-1)] as an (L, count) Montgomery array,
@@ -73,7 +79,10 @@ class EvaluationDomain:
 
     @classmethod
     def from_polynomial(cls, poly) -> "EvaluationDomain":
-        return cls.from_coeffs(poly.coeffs)
+        # trimmed(): the domain size must come from the TRACKED degree, not
+        # the backing-array slack (the reference feeds the truncated coeffs
+        # into from_coeffs, eval_form.rs:271-315)
+        return cls.from_coeffs(poly.trimmed())
 
     def clone_with_different_coeffs(self, values) -> "EvaluationDomain":
         """ft.rs:78-80 — same domain, new values (must be length d)."""
@@ -127,9 +136,27 @@ class EvaluationDomain:
 
     def distribute_powers(self, g: int) -> "EvaluationDomain":
         """values[i] *= g^i (ft.rs:142-156), with the power table built by
-        on-device log-doubling instead of the reference's serial chain."""
-        tbl = _powers_device(g, self.d)
-        return EvaluationDomain(FR.mul(self.values, tbl), self.domain)
+        on-device log-doubling instead of the reference's serial chain.
+        Tables are cached per (g, d); for big domains (>= 2^17, matching
+        domain.py's split-table threshold) the table is held as O(sqrt d)
+        hi/lo factors — g^i = HI[i >> s] * LO[i & (2^s - 1)] — applied as
+        two broadcast multiplies, never materialising the O(d) table."""
+        key = (g % R, self.d)
+        cached = _POWER_TABLE_CACHE.get(key)
+        if self.exp >= _SPLIT_POWERS_EXP:
+            s = self.exp // 2
+            n_lo, n_hi = 1 << s, self.d >> s
+            if cached is None:
+                lo = _powers_device(g, n_lo)
+                hi = _powers_device(pow(g % R, n_lo, R), n_hi)
+                cached = _POWER_TABLE_CACHE[key] = (hi, lo)
+            hi, lo = cached
+            v = self.values.reshape(FR.L, n_hi, n_lo)
+            v = FR.mul(FR.mul(v, lo[:, None, :]), hi[:, :, None])
+            return EvaluationDomain(v.reshape(FR.L, self.d), self.domain)
+        if cached is None:
+            cached = _POWER_TABLE_CACHE[key] = _powers_device(g, self.d)
+        return EvaluationDomain(FR.mul(self.values, cached), self.domain)
 
     # ---- vanishing polynomial (ft.rs:182-217) ----------------------------
 
@@ -156,10 +183,15 @@ class EvaluationDomain:
         assert self.d == other.d, "domains must match"
         return EvaluationDomain(FR.add(self.values, other.values), self.domain)
 
-    def __eq__(self, other) -> bool:
+    def __eq__(self, other):
+        if not isinstance(other, EvaluationDomain):
+            return NotImplemented
         return self.d == other.d and bool(
             np.asarray(FR.eq(self.values, other.values).all())
         )
+
+    # value-equality over mutable device arrays: explicitly unhashable
+    __hash__ = None
 
     def __repr__(self) -> str:
         return f"EvaluationDomain(d={self.d}, omega=...{self.omega % 10**8})"

@@ -262,8 +262,11 @@ class Polynomial:
     def truncate(self, degree: int):
         """Drop all terms above `degree` and set the tracked degree
         (polynomial.rs:107-110). Returns a new Polynomial (immutable
-        arrays)."""
-        return Polynomial(self.coeffs[..., : degree + 1], degree)
+        arrays). Over-length degrees no-op on the storage like the
+        reference's Vec::truncate (the tracked degree is still clamped to
+        what the backing array holds)."""
+        new_len = min(degree + 1, self.coeffs.shape[-1])
+        return Polynomial(self.coeffs[..., :new_len], new_len - 1)
 
     def reverse(self):
         """Coefficient reversal rev(f)(X) = X^deg * f(1/X)

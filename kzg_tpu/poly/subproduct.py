@@ -97,7 +97,16 @@ def lagrange_interpolation_with_tree(xs, ys, tree: "SubProductTree") -> Polynomi
     polynomial.rs:237-264): weights c_i = y_i / m'(x_i) with m = tree
     root, then one linear-mod-combination. Amortises the tree across
     repeated interpolations at the same points (the batched-witness path
-    builds the tree once for remainder + vanishing use)."""
+    builds the tree once for remainder + vanishing use).
+
+    Single-point quirk preserved for reference parity, matching
+    lagrange_interpolation: returns the degree-1 polynomial X + (y0 - x0)
+    rather than the constant y0 (polynomial.rs:244-247, 269-272)."""
+    if xs.shape[-1] == 1:
+        c = jnp.concatenate(
+            [FR.sub(ys[..., 0:1], xs[..., 0:1]), FR.one((1,))], axis=-1
+        )
+        return Polynomial(c, 1)
     mp = poly_derivative(tree.product)
     w = mp.eval_many(xs)  # m'(x_i)  (L, k)
     cs = FR.mul(ys, FR.batch_inv(w))

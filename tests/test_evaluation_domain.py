@@ -112,3 +112,62 @@ def test_lagrange_interpolation_with_tree_matches_direct():
     assert p1 == p2
     for x, y in zip(xs[:3], ys[:3]):
         assert p1.eval(x) == y
+
+
+def test_eq_non_domain_returns_false_and_unhashable():
+    ed = EvaluationDomain.from_ints(rand_ints(4))
+    assert (ed == None) is False  # noqa: E711 — NotImplemented fallback
+    assert (ed != 17) is True
+    import pytest
+
+    with pytest.raises(TypeError):
+        hash(ed)  # __eq__ without identity semantics: explicitly unhashable
+
+
+def test_from_polynomial_uses_tracked_degree():
+    # backing storage larger than the tracked degree must not widen the
+    # domain (the reference feeds truncated coeffs, eval_form.rs:271-315)
+    ints = rand_ints(5)
+    p = Polynomial.from_ints(ints + [0, 0, 0, 0, 0], degree=4)
+    ed = EvaluationDomain.from_polynomial(p)
+    assert ed.d == 8
+    assert ed == EvaluationDomain.from_ints(ints)
+
+
+def test_distribute_powers_split_table_matches_direct():
+    import kzg_tpu.ntt.evaluation_domain as edm
+
+    ints = rand_ints(16)
+    g = rand_ints(1)[0]
+    ed = EvaluationDomain.from_ints(ints)
+    want = [(x * pow(g, i, R)) % R for i, x in enumerate(ints)]
+    old = edm._SPLIT_POWERS_EXP
+    try:
+        edm._SPLIT_POWERS_EXP = 3  # force the hi/lo split path at d=16
+        edm._POWER_TABLE_CACHE.clear()
+        assert ed.distribute_powers(g).to_ints() == want
+        assert (g % R, 16) in edm._POWER_TABLE_CACHE  # cached for reuse
+        assert ed.distribute_powers(g).to_ints() == want  # cache hit path
+    finally:
+        edm._SPLIT_POWERS_EXP = old
+        edm._POWER_TABLE_CACHE.clear()
+    assert ed.distribute_powers(g).to_ints() == want  # direct path
+
+
+def test_truncate_overlength_noop():
+    ints = rand_ints(4)
+    p = Polynomial.from_ints(ints)
+    t = p.truncate(17)  # over-length: Vec::truncate no-ops on the storage
+    assert t.degree == 3 and t.to_ints() == ints
+
+
+def test_with_tree_single_point_quirk():
+    # k == 1 returns X + (y0 - x0), matching lagrange_interpolation and the
+    # reference (polynomial.rs:244-247, 269-272)
+    (x0,), (y0,) = rand_ints(1), rand_ints(1)
+    xa = jnp.asarray(FR.encode([x0]))
+    ya = jnp.asarray(FR.encode([y0]))
+    tree = SubProductTree.from_points(xa)
+    p1 = lagrange_interpolation_with_tree(xa, ya, tree)
+    assert p1 == lagrange_interpolation(xa, ya)
+    assert p1.degree == 1 and p1.to_ints() == [(y0 - x0) % R, 1]
