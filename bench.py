@@ -202,6 +202,61 @@ def main():
     if fp_peak:
         extras["msm_mfu"] = round(useful_muls / dt / fp_peak, 4)
 
+    # ---- end-to-end commit + create_witness at the 2^24 north star -------
+    # (BASELINE.md config 5, single-chip form; VERDICT r2 missing #1.)
+    # Runs through the PROTOCOL layer (KZGProver) with check=False: SRS via
+    # the chunked device setup (G1 only — provers need hs[0..1], see
+    # setup_device docstring), chunked MSM, scan division. Roofline
+    # decomposition: commit ~= one 2^24 MSM; witness = division + MSM.
+    e2e_log = int(os.environ.get("KZG_BENCH_E2E_LOGN", "24"))
+    if e2e_log:
+        try:
+            from kzg_tpu.kzg.setup import setup_device
+            from kzg_tpu.kzg.coeff_form import KZGProver
+            from kzg_tpu.poly import Polynomial
+
+            ne = 1 << e2e_log
+            _note(f"e2e 2^{e2e_log}: building SRS (chunked, G1 only)")
+            t0 = time.perf_counter()
+            params = setup_device(0x5EED1DEAF00D, ne, g2_count=2)
+            jax.block_until_ready(params.gs)
+            extras["e2e_setup_seconds"] = round(time.perf_counter() - t0, 2)
+            prover = KZGProver(params)
+            coeffs = rand_mont(FR, ne)
+            poly = Polynomial(coeffs, ne - 1)
+            _note("e2e: commit (compile + 1 warm)")
+            cm = prover.commit(poly)
+            jax.block_until_ready(cm)
+            t0 = time.perf_counter()
+            cm = prover.commit(Polynomial(jnp.roll(coeffs, 1, axis=-1), ne - 1))
+            jax.block_until_ready(cm)
+            commit_s = time.perf_counter() - t0
+            _note(f"e2e: commit {commit_s:.2f}s; create_witness")
+            x = 0xABCDEF0123456789
+            w = prover.create_witness(poly, (x, 0), check=False)
+            jax.block_until_ready(w)
+            t0 = time.perf_counter()
+            w = prover.create_witness(
+                Polynomial(jnp.roll(coeffs, 1, axis=-1), ne - 1),
+                (x, 0), check=False,
+            )
+            jax.block_until_ready(w)
+            witness_s = time.perf_counter() - t0
+            extras[f"e2e_commit_seconds_2e{e2e_log}"] = round(commit_s, 3)
+            extras[f"e2e_witness_seconds_2e{e2e_log}"] = round(witness_s, 3)
+            extras[f"commit_witness_seconds_2e{e2e_log}"] = round(
+                commit_s + witness_s, 3
+            )
+            # decomposition: both phases are MSM-bound; the division is the
+            # witness surplus over one commit-sized MSM
+            extras["e2e_division_share"] = round(
+                max(0.0, witness_s - commit_s) / max(witness_s, 1e-9), 3
+            )
+            del params, prover, coeffs, poly
+        except Exception as e:  # noqa: BLE001 - record, don't kill the bench
+            extras["e2e_error"] = f"{type(e).__name__}: {e}"[:300]
+            _note(f"e2e FAILED: {extras['e2e_error']}")
+
     print(json.dumps({
         "metric": f"g1_msm_points_per_sec_2e{LOG_N}",
         "value": round(pps, 1),

@@ -62,4 +62,21 @@ if not _os.environ.get("KZG_TPU_NO_COMPILE_CACHE"):
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from .kzg.errors import KZGError  # noqa: F401
+def __getattr__(name):
+    # Lazy root export: `from .kzg.errors import KZGError` would execute
+    # kzg/__init__ -> the whole protocol chain -> curve/__init__, whose
+    # pallas_enabled() queries jax.default_backend() and LOCKS the backend
+    # at package-import time — breaking any later JAX_PLATFORMS override
+    # (smoke's KZG_SMOKE_BACKEND=cpu, embedding uses). Importing the bare
+    # package must stay backend-neutral.
+    if name == "KZGError":
+        from .kzg.errors import KZGError
+
+        return KZGError
+    if name == "native":
+        # importlib (not `from . import`): the from-import form re-enters
+        # this __getattr__ via _handle_fromlist before the submodule binds
+        import importlib
+
+        return importlib.import_module(".native", __name__)
+    raise AttributeError(f"module 'kzg_tpu' has no attribute {name!r}")

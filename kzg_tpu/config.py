@@ -40,6 +40,11 @@ class KZGConfig:
     # (half the buckets per window + one borrow window). All variants are
     # differentially tested.
     msm_impl: str = "v1"
+    # bucket-accumulation steps fused into ONE Pallas launch (the gathered
+    # point chunk for S steps is staged in HBM, the bucket state stays in
+    # VMEM across the in-kernel step axis). 1 disables fusion (one launch +
+    # one gather per step, the round-2 shape).
+    msm_fuse_steps: int = 16
     # MSMs larger than 2^this run as sequential chunks of 2^this points
     # whose Jacobian partials are added — bounds HBM (a one-shot 2^24 MSM
     # needs ~26.5G vs the chip's 15.75G; measured) the same way the
@@ -69,6 +74,10 @@ class KZGConfig:
     # Pease element shuffle) + one twiddle multiply + one transpose. Small
     # domains keep the single-pass constant-geometry loop.
     ntt_four_step_min_exp: int = 16
+    # DFT-as-matmul blocks on the MXU (ntt/mxu.py): "auto" = on for real
+    # accelerator backends, "off" = VPU butterfly stages everywhere,
+    # "force" = on even on CPU (reduce epilogue in interpret mode — tests)
+    ntt_mxu: str = "off"
 
     # --- pairing / verification ----------------------------------------
     # "auto": native C++ host engine, falling back to the Python oracle;
@@ -94,8 +103,12 @@ class KZGConfig:
             raise ValueError("fixed_base_window must be in [2, 16]")
         if not (2 <= self.ntt_four_step_min_exp):
             raise ValueError("ntt_four_step_min_exp must be >= 2")
+        if self.ntt_mxu not in ("auto", "off", "force"):
+            raise ValueError(f"bad ntt_mxu {self.ntt_mxu!r}")
         if not (4 <= self.msm_chunk_log):
             raise ValueError("msm_chunk_log must be >= 4")
+        if not (1 <= self.msm_fuse_steps <= 256):
+            raise ValueError("msm_fuse_steps must be in [1, 256]")
         return self
 
 

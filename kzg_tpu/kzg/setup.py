@@ -366,13 +366,71 @@ def setup(s: int, num_coeffs: int) -> KZGParams:
     return setup_device(s, num_coeffs)
 
 
-def setup_device(s: int, num_coeffs: int) -> KZGParams:
+@partial(jax.jit, static_argnums=(0, 1))
+def _setup_digits_chunk_jit(n: int, c: int, s_mont, base_mont):
+    """Window digits of base * s^0 .. base * s^(n-1) (one chunk of the
+    global power ladder: base = s^(chunk_start))."""
+    sb = jnp.broadcast_to(s_mont, (FR.L, n))
+    pw = FR.prefix_mul(sb)  # s^1 .. s^n
+    powers = jnp.concatenate([FR.one((1,)), pw[:, : n - 1]], axis=1)
+    return _digits(FR.from_mont(FR.mul(powers, base_mont)), c)
+
+
+@partial(jax.jit, static_argnums=0)
+def _g1_ladder_jit(c: int, digits, t1):
+    return G1.to_affine(_ladder_from_table(G1, t1, digits))
+
+
+@partial(jax.jit, static_argnums=0)
+def _g2_ladder_jit(c: int, digits, t2):
+    return G2.to_affine(_ladder_from_table(G2, t2, digits))
+
+
+def setup_device(
+    s: int, num_coeffs: int, g2_count: int | None = None
+) -> KZGParams:
     """Accelerator-path SRS build: log-depth power scan + fixed-base
-    windowed ladders (see module docstring)."""
+    windowed ladders (see module docstring).
+
+    g2_count limits how many G2 powers h^(s^i) are built (default: all
+    num_coeffs, reference lib.rs:48-52 parity). Production proving at the
+    2^24 north-star needs only hs[0..1] (verify_eval) — a full G2 ladder
+    there would double the build cost and add ~6.4 GB of HBM for points the
+    prover never touches; pass g2_count=2. Batched verification at k points
+    needs g2_count >= k+1 (coeff_form.rs:161-166).
+
+    Above 2^msm_chunk_log points the G1 ladder is built in CHUNKS (digits +
+    gather-adds per 2^chunk_log powers): the one-shot digit array alone is
+    (W, n) int32 = 2 GB at 2^24/c=8 and the Jacobian intermediates ~5 GB,
+    which with the output SRS would overflow the chip; per-chunk peak
+    memory is flat in n."""
+    from ..config import get_config
+
     s_mont = jnp.asarray(FR.encode([s % R]))
     w = _fb_window()
-    digits = _setup_digits_jit(num_coeffs, w, s_mont)
-    gs, hs = _ladders_jit(w, digits)
+    if g2_count is None:
+        g2_count = num_coeffs
+    chunk = 1 << get_config().msm_chunk_log
+    if num_coeffs <= chunk and g2_count == num_coeffs:
+        digits = _setup_digits_jit(num_coeffs, w, s_mont)
+        gs, hs = _ladders_jit(w, digits)
+        return KZGParams(gs=gs, hs=hs, n=num_coeffs)
+    # chunked G1 ladder + separate (small) G2 ladder
+    w_count = -(-FR.L * LIMB_BITS // w)
+    t1, t2 = fixed_base_tables(w, w_count)
+    gs_parts = []
+    for off in range(0, num_coeffs, chunk):
+        cn = min(chunk, num_coeffs - off)
+        base = jnp.asarray(FR.encode([pow(s % R, off, R)]))
+        digits = _setup_digits_chunk_jit(cn, w, s_mont, base)
+        part = _g1_ladder_jit(w, digits, t1)
+        jax.block_until_ready(part)
+        gs_parts.append(part)
+    gs = tuple(
+        jnp.concatenate([p[i] for p in gs_parts], axis=-1) for i in range(3)
+    )
+    digits2 = _setup_digits_jit(g2_count, w, s_mont)
+    hs = _g2_ladder_jit(w, digits2, t2)
     return KZGParams(gs=gs, hs=hs, n=num_coeffs)
 
 

@@ -261,7 +261,28 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
             skip = jnp.logical_or(~valid, qinf)
             return curve.madd(acc, (qx, qy), skip)
 
+        # fused accumulation: gather S steps' points in ONE take, then run
+        # all S madds in ONE Pallas launch with the bucket state resident in
+        # VMEM (curve.madd_multi) — removes the per-step gather + launch +
+        # bucket HBM round-trip that bounded round 2 at msm_mfu 0.11
+        fuse = get_config().msm_fuse_steps if _kernels_available(curve) else 1
+
+        def chunk_body(j, acc):
+            ks = j * fuse + jnp.arange(fuse, dtype=jnp.int32)  # (S,)
+            pos = jnp.clip(start[None, :] + ks[:, None], 0, n - 1)
+            valid = ks[:, None] < count[None, :]  # (S, B)
+            g = jnp.take(sp, pos.reshape(-1), axis=-1)  # (2K+1, S*B)
+            qx = g[:K].reshape(elem_shape + (fuse, buckets))
+            qy = g[K: 2 * K].reshape(elem_shape + (fuse, buckets))
+            qinf = g[2 * K].reshape(fuse, buckets) != 0
+            skip = jnp.logical_or(~valid, qinf)
+            return curve.madd_multi(acc, (qx, qy), skip)
+
         def bucket_loop(_):
+            if fuse > 1:
+                return jax.lax.fori_loop(
+                    0, (maxc + fuse - 1) // fuse, chunk_body, acc0
+                )
             return jax.lax.fori_loop(0, maxc, kbody, acc0)
 
         def segscan(_):
@@ -360,7 +381,27 @@ def _msm_impl_signed(curve, xa, ya, inf, scalars_std, c: int):
             skip = jnp.logical_or(~valid, qinf)
             return curve.madd(acc, (qx, qy), skip)
 
+        # fused S-step accumulation (see _msm_impl); the signed path's
+        # point negation rides the kernel's neg mask (negate-on-gather)
+        fuse = get_config().msm_fuse_steps if _kernels_available(curve) else 1
+
+        def chunk_body(j, acc):
+            ks = j * fuse + jnp.arange(fuse, dtype=jnp.int32)
+            pos = jnp.clip(start[None, :] + ks[:, None], 0, n - 1)
+            valid = ks[:, None] < count[None, :]
+            g = jnp.take(sp, pos.reshape(-1), axis=-1)
+            qx = g[:K].reshape(elem_shape + (fuse, nb))
+            qy = g[K: 2 * K].reshape(elem_shape + (fuse, nb))
+            qneg = jnp.take(ns, pos.reshape(-1)).reshape(fuse, nb)
+            qinf = g[2 * K].reshape(fuse, nb) != 0
+            skip = jnp.logical_or(~valid, qinf)
+            return curve.madd_multi(acc, (qx, qy), skip, qneg)
+
         def bucket_loop(_):
+            if fuse > 1:
+                return jax.lax.fori_loop(
+                    0, (maxc + fuse - 1) // fuse, chunk_body, acc0
+                )
             return jax.lax.fori_loop(0, maxc, kbody, acc0)
 
         def segscan(_):
@@ -525,7 +566,38 @@ def _msm_impl_v2(curve, xa, ya, inf, scalars_std, c: int,
     # stay far below it (mean n/B, max ~ mean + O(sqrt(mean log B)))
     cap = 4 * (n // buckets + 1) + 64
 
+    # fused S-step accumulation over the flattened (W*B) lane space (see
+    # _msm_impl); Jacobian path only — the affine variant's batched
+    # inversion is a different kernel shape
+    fuse = (
+        get_config().msm_fuse_steps
+        if (_kernels_available(curve) and not affine)
+        else 1
+    )
+    wb_flat = w_count * buckets
+
+    def chunk_body(j, acc):
+        ks = j * fuse + jnp.arange(fuse, dtype=jnp.int32)  # (S,)
+        pos = jnp.clip(start[None] + ks[:, None, None], 0, n - 1)  # (S,W,B)
+        valid = ks[:, None, None] < count[None]
+        oi = jnp.take_along_axis(
+            jnp.broadcast_to(order[None], (fuse,) + order.shape), pos, axis=-1
+        )
+        g = jnp.take(stacked, oi.reshape(-1), axis=-1)  # (2K, S*W*B)
+        qx = g[:K].reshape(elem_shape + (fuse, wb_flat))
+        qy = g[K:].reshape(elem_shape + (fuse, wb_flat))
+        skip = ~valid.reshape(fuse, wb_flat)
+        return curve.madd_multi(acc, (qx, qy), skip)
+
     def bucket_path(_):
+        if fuse > 1:
+            flat_acc = tuple(
+                t.reshape(elem_shape + (wb_flat,)) for t in acc0
+            )
+            out = jax.lax.fori_loop(
+                0, (maxc + fuse - 1) // fuse, chunk_body, flat_acc
+            )
+            return tuple(t.reshape(elem_shape + wb) for t in out)
         acc = jax.lax.fori_loop(0, maxc, kbody, acc0)
         return _affine_to_jac(curve, acc) if affine else acc
 
@@ -641,9 +713,12 @@ def msm(curve, points, scalars_mont, c: int | None = None):
     else:
         impl = _msm_impl_v2
     # key by curve NAME, not id(): id() of a collected object can be reused,
-    # which would be a latent wrong-curve cache hit. The threshold is part
-    # of the key because it is baked in at trace time.
-    key = (curve.name, c, cfg.msm_impl, cfg.small_msm_threshold)
+    # which would be a latent wrong-curve cache hit. The threshold and fuse
+    # depth are part of the key because they are baked in at trace time.
+    key = (
+        curve.name, c, cfg.msm_impl, cfg.small_msm_threshold,
+        cfg.msm_fuse_steps,
+    )
     if key not in _jitted:
         cur = curve
 

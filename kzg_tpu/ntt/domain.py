@@ -200,6 +200,19 @@ class Domain:
 
     # ---- four-step (Bailey) decomposition ------------------------------------
 
+    def _fs_split(self):
+        """(exp_r, exp_c) four-step factorization. Balanced by default; on
+        the MXU path the second factor is pinned to <= 2^7 (the matmul-DFT
+        block edge) so deep sizes recurse in the fewest levels (2^20 ->
+        (7, 13) -> (7, 6): three matmul passes instead of four)."""
+        from .mxu import mxu_available, _MAX_EXP
+
+        if mxu_available() and self.exp > 2 * _MAX_EXP:
+            exp_r = _MAX_EXP
+        else:
+            exp_r = self.exp // 2
+        return exp_r, self.exp - exp_r
+
     def _four_step_consts(self, inverse: bool):
         """(expR, expC, s, WH, WL) for one transform direction: the twiddle
         matrix W[k2, j1] = omega^(+-j1*k2) in SPLIT form,
@@ -207,11 +220,10 @@ class Domain:
             W[k2, j1] = WH[k2, j1 >> s] * WL[k2, j1 & (2^s - 1)],
 
         two O(n^(3/4))-entry numpy tables instead of one O(n) literal
-        (see _BIG_TABLE_EXP). Built lazily per direction."""
-        key = "_fs_inv" if inverse else "_fs_fwd"
+        (see _BIG_TABLE_EXP). Built lazily per (direction, split)."""
+        exp_r, exp_c = self._fs_split()
+        key = ("_fs_inv" if inverse else "_fs_fwd") + f"_{exp_r}"
         if getattr(self, key, None) is None:
-            exp_r = self.exp // 2
-            exp_c = self.exp - exp_r
             rn, cn = 1 << exp_r, 1 << exp_c
             s = exp_r // 2
             base = self.omega_inv if inverse else self.omega
@@ -262,6 +274,31 @@ class Domain:
         x = Domain(exp_r)._ntt_axis2(x, inverse)  # -> [k1, k2]
         return x.reshape(x.shape[:-2] + (self.d,))
 
+    def _four_step_axis2(self, x, inverse: bool):
+        """Four-step recursion ALONG AXIS -2 of (L, *lead, m, bt): the same
+        j = j1 + R*j2 / k = k2 + C*k1 factorization as _ntt_four_step with
+        bt riding along as a trailing batch axis (merged into each
+        sub-NTT's Bt). Used on the MXU path to reduce any block to
+        <= 2^7-point matmul-DFT leaves (ntt/mxu.py)."""
+        exp_r, exp_c, s, wh, wl = self._four_step_consts(inverse)
+        rn, cn = 1 << exp_r, 1 << exp_c
+        bt = x.shape[-1]
+        lead = x.shape[1:-2]
+        nl = len(lead)
+        x = x.reshape(x.shape[:-2] + (cn, rn * bt))  # [j2, (j1, bt)]
+        x = Domain(exp_c)._ntt_axis2(x, inverse)  # -> [k2, (j1, bt)]
+        x = x.reshape(x.shape[:-1] + (rn >> s, (1 << s) * bt))
+        x = FR.mul(x, wh.reshape((FR.L,) + (1,) * nl + (cn, rn >> s, 1)))
+        x = x.reshape(x.shape[:-1] + (1 << s, bt))
+        x = FR.mul(x, wl.reshape((FR.L,) + (1,) * nl + (cn, 1, 1 << s, 1)))
+        x = x.reshape(x.shape[:-3] + (rn, bt))  # [k2, j1, bt]
+        x = jnp.swapaxes(x, -3, -2)  # [j1, k2, bt]
+        x = x.reshape(x.shape[:-2] + (cn * bt,))
+        x = Domain(exp_r)._ntt_axis2(x, inverse)  # -> [k1, (k2, bt)]
+        return x.reshape(x.shape[:-1] + (cn, bt)).reshape(
+            (FR.L,) + tuple(lead) + (self.d, bt)
+        )
+
     def _ntt_axis2(self, x, inverse: bool):
         """The _ntt stage loop transforming axis -2 of (L, *lead, m, Bt):
         identical algorithm, but every slice/interleave/bit-reversal moves
@@ -270,6 +307,12 @@ class Domain:
         m = self.d
         if m == 1:
             return x
+        from .mxu import mxu_available, dft_axis2, _MAX_EXP
+
+        if mxu_available():
+            if self.exp <= _MAX_EXP:
+                return dft_axis2(self.exp, inverse, x)
+            return self._four_step_axis2(x, inverse)
         tw = self.tw_inv if inverse else self.tw_fwd  # numpy (L, m/2)
         h = m // 2
         lead = x.shape[1:-2]
@@ -321,10 +364,15 @@ class Domain:
 
         # config can lower the four-step gate (tests force it small) but
         # not raise it past _BIG_TABLE_EXP: big domains have no dense
-        # stage tables, so the Pease loop is not an option there
-        if self.exp >= max(
-            4, min(get_config().ntt_four_step_min_exp, _BIG_TABLE_EXP)
-        ):
+        # stage tables, so the Pease loop is not an option there. On the
+        # MXU path everything above the matmul-DFT block edge four-steps
+        # down to matmul leaves.
+        from .mxu import mxu_available, _MAX_EXP
+
+        gate = max(4, min(get_config().ntt_four_step_min_exp, _BIG_TABLE_EXP))
+        if mxu_available():
+            gate = min(gate, _MAX_EXP + 1)
+        if self.exp >= gate:
             return self._ntt_four_step(x, inverse)
         tw = self.tw_inv if inverse else self.tw_fwd
         logn = self.exp

@@ -20,6 +20,10 @@ from kzg_tpu.kzg import (
 from kzg_tpu.poly import Polynomial
 from kzg_tpu.oracle import ec_mul, ec_add, g1_generator, g2_generator
 
+# slow tier: protocol graphs (MSM + coset division) are compile-bound on 1 core;
+# the fast tier (pytest -m 'not slow') must stay <10 min cold (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
+
 N = 16
 SECRET = 69696969  # fixed test secret, spirit of the reference's seeded rng
 

@@ -24,6 +24,10 @@ from kzg_tpu.ntt import Domain
 from kzg_tpu.poly import Polynomial
 from kzg_tpu.oracle import ec_mul, g1_generator
 
+# slow tier: protocol + Lagrange-SRS graphs are compile-bound on 1 core;
+# the fast tier (pytest -m 'not slow') must stay <10 min cold (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
+
 EXP = 3
 D = 1 << EXP
 SECRET = 69696969

@@ -14,6 +14,10 @@ from kzg_tpu.curve import G1, G2, g1_to_device, g2_to_device, g1_from_device, g2
 from kzg_tpu.msm import msm_g1, msm_g2
 from kzg_tpu.oracle import ec_add, ec_mul, g1_generator, g2_generator
 
+# slow tier: differential MSM suites compile full Pippenger graphs (>5 min on 1 core);
+# the fast tier (pytest -m 'not slow') must stay <10 min cold (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
+
 
 def oracle_msm(points, scalars, mul=ec_mul):
     acc = None

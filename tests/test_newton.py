@@ -16,6 +16,10 @@ from kzg_tpu.poly.polynomial import _long_division, _eval_many
 from kzg_tpu.poly.newton import inv_series, newton_divmod_jit, eval_points_tree_jit
 from kzg_tpu.poly.subproduct import SubProductTree, multi_eval_tree
 
+# slow tier: Newton-inverse division compiles NTT graphs at many shapes (>10 min on 1 core);
+# the fast tier (pytest -m 'not slow') must stay <10 min cold (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
+
 rng = random.Random(1234)
 
 

@@ -27,6 +27,10 @@ from kzg_tpu.pairing import (
     pairing_check_device,
 )
 
+# slow tier: on-device tower/Miller-loop graphs are compile-bound on 1 core;
+# the fast tier (pytest -m 'not slow') must stay <10 min cold (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
+
 
 def _g1_dev(p):
     return (FPA.encode([p[0].n]), FPA.encode([p[1].n]))

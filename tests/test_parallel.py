@@ -20,6 +20,10 @@ from kzg_tpu.parallel import (
     make_commit_witness_step,
 )
 
+# slow tier: shard_map pipelines are the most compile-heavy graphs in the repo;
+# the fast tier (pytest -m 'not slow') must stay <10 min cold (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():

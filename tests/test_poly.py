@@ -17,6 +17,10 @@ from kzg_tpu.poly import (
     lagrange_interpolation,
 )
 
+# slow tier: polynomial-algebra graphs (NTT mul, scan division) compile for ~6 min on a 1-core host;
+# the fast tier (pytest -m 'not slow') must stay <10 min cold (VERDICT r2 #5)
+pytestmark = pytest.mark.slow
+
 
 def py_poly_mul(a, b):
     out = [0] * (len(a) + len(b) - 1)
