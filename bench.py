@@ -154,6 +154,7 @@ def main():
         extras["ntt_butterflies_per_sec"] = round(ntt_rate, 1)
         extras["ntt_mfu"] = round(ntt_rate / fr_peak, 4)
         extras["ntt_seconds"] = round(ntt_dt, 4)
+        del x, xvars  # free ~5GB of HBM before the MSM/e2e sections
 
     # ---- MSM at 2^LOG_N -------------------------------------------------
     # point batch: k*G for random 30-bit k via the batched ladder. Above
@@ -202,6 +203,30 @@ def main():
     if fp_peak:
         extras["msm_mfu"] = round(useful_muls / dt / fp_peak, 4)
 
+    # ---- G2 MSM (the batched verifier's h^Z + Lagrange G2 iNTT unit;
+    # reference coeff_form.rs:161-166) — Fp2 Pallas point kernels ---------
+    g2_log = int(os.environ.get("KZG_BENCH_G2_LOGN", "16"))
+    if g2_log:
+        from kzg_tpu.curve import G2, g2_generator_device
+
+        n2 = 1 << g2_log
+        _note(f"G2 MSM 2^{g2_log}: generating point batch")
+        ks2 = rng.integers(1, 1 << 30, size=n2, dtype=np.int64)
+        bits2 = ((ks2[None, :] >> np.arange(30)[:, None]) & 1).astype(
+            np.uint32
+        )
+        pts2 = G2.to_affine(
+            G2.scalar_mul_bits(g2_generator_device(n2), jnp.asarray(bits2))
+        )
+        s2 = scalars[..., :n2] if n2 <= n else rand_mont(FR, n2)
+        s2v = [jnp.roll(s2, i + 1, axis=-1) for i in range(2)] + [s2]
+        jax.block_until_ready((pts2, s2v))
+        _note("G2 MSM: compiling + timing")
+        dt2 = _timeit(lambda s: msm_public(G2, pts2, s), s2v, iters=2)
+        extras[f"g2_msm_points_per_sec_2e{g2_log}"] = round(n2 / dt2, 1)
+        extras["g2_msm_seconds"] = round(dt2, 3)
+        del pts2, s2, s2v
+
     # ---- end-to-end commit + create_witness at the 2^24 north star -------
     # (BASELINE.md config 5, single-chip form; VERDICT r2 missing #1.)
     # Runs through the PROTOCOL layer (KZGProver) with check=False: SRS via
@@ -210,6 +235,11 @@ def main():
     # decomposition: commit ~= one 2^24 MSM; witness = division + MSM.
     e2e_log = int(os.environ.get("KZG_BENCH_E2E_LOGN", "24"))
     if e2e_log:
+        # free the MSM section's point/scalar batches (~8GB at 2^20 incl.
+        # roll variants) — holding them through the 2^24 protocol run was
+        # the RESOURCE_EXHAUSTED in the witness phase (SRS 3.2G + quotient
+        # scan ~3G live + these leftovers > 15.75G HBM)
+        del pts, scalars, svars
         try:
             from kzg_tpu.kzg.setup import setup_device
             from kzg_tpu.kzg.coeff_form import KZGProver

@@ -45,6 +45,18 @@ class KZGConfig:
     # VMEM across the in-kernel step axis). 1 disables fusion (one launch +
     # one gather per step, the round-2 shape).
     msm_fuse_steps: int = 16
+    # 1024-lane blocks processed per madd_multi kernel program (the grid
+    # shrinks by this factor and each program's tile grows to
+    # (blocks*8, 128) sublanes x lanes). >1 amortizes per-program fixed
+    # costs (grid bookkeeping, mask loads, the rare-dbl cond) over more
+    # lanes; VMEM use grows linearly (~1MB/block at fuse 16). Bucket
+    # batches are padded up to a whole multiple.
+    msm_blocks_per_program: int = 1
+    # gate the madd/add doubling branch behind cond(any(lane needs it)):
+    # skips ~7 of ~18 field muls on random workloads, but the any() scalar
+    # reduction + branch can serialize the Mosaic pipeline — measurable
+    # either way, so it's a knob.
+    msm_gate_rare_dbl: bool = True
     # MSMs larger than 2^this run as sequential chunks of 2^this points
     # whose Jacobian partials are added — bounds HBM (a one-shot 2^24 MSM
     # needs ~26.5G vs the chip's 15.75G; measured) the same way the
@@ -109,6 +121,8 @@ class KZGConfig:
             raise ValueError("msm_chunk_log must be >= 4")
         if not (1 <= self.msm_fuse_steps <= 256):
             raise ValueError("msm_fuse_steps must be in [1, 256]")
+        if not (1 <= self.msm_blocks_per_program <= 64):
+            raise ValueError("msm_blocks_per_program must be in [1, 64]")
         return self
 
 

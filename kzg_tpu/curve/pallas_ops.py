@@ -97,7 +97,14 @@ class _PointKernels:
 
     def _rare_dbl(self, need, out, x1, y1, z1):
         """Select the doubling result into `out` on `need` lanes, computing
-        it only when some lane actually needs it (see module docstring)."""
+        it only when some lane actually needs it (see module docstring).
+        config.msm_gate_rare_dbl=False computes the doubling
+        unconditionally — ~7 more field muls per lane but no any() scalar
+        reduction + branch, which can serialize the Mosaic pipeline."""
+        from ..config import get_config
+
+        if not get_config().msm_gate_rare_dbl:
+            return self._sel3(need, self._dbl_vals(x1, y1, z1), out)
 
         def with_dbl():
             return self._sel3(need, self._dbl_vals(x1, y1, z1), out)
@@ -275,37 +282,48 @@ class _PointKernels:
         round-trip of the bucket state AND amortises one kernel launch
         over S steps — the VERDICT r2 #2 fusion (the reference's analog
         loop is inside blst's multi_exp assembly)."""
+        from ..config import get_config
+
+        cfg = get_config()
         L = self.L
         S = skip_u32.shape[0]
         B = acc[0].shape[-1]
         nblk = B // LANES
-        key = ("madd_multi", S, B)
+        # F whole 1024-lane blocks per program: tile sublanes grow to F*8,
+        # the grid's block axis shrinks to nblk/F (host wrapper pads B to a
+        # multiple of F*LANES). Amortizes per-program fixed costs.
+        F = min(cfg.msm_blocks_per_program, nblk)
+        while nblk % F:
+            F -= 1
+        sub = F * 8
+        nb2 = nblk // F
+        key = ("madd_multi", S, B, F, cfg.msm_gate_rare_dbl)
         if key not in self._calls:
             if self.ncomp == 1:
                 acc_spec = pl.BlockSpec(
-                    (L, 1, 8, 128), lambda i, s: (0, i, 0, 0),
+                    (L, 1, sub, 128), lambda i, s: (0, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
                 pt_spec = pl.BlockSpec(
-                    (L, 1, 1, 8, 128), lambda i, s: (0, s, i, 0, 0),
+                    (L, 1, 1, sub, 128), lambda i, s: (0, s, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
             else:
                 acc_spec = pl.BlockSpec(
-                    (L, 2, 1, 8, 128), lambda i, s: (0, 0, i, 0, 0),
+                    (L, 2, 1, sub, 128), lambda i, s: (0, 0, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
                 pt_spec = pl.BlockSpec(
-                    (L, 2, 1, 1, 8, 128), lambda i, s: (0, 0, s, i, 0, 0),
+                    (L, 2, 1, 1, sub, 128), lambda i, s: (0, 0, s, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
             mask_spec = pl.BlockSpec(
-                (1, 1, 8, 128), lambda i, s: (s, i, 0, 0),
+                (1, 1, sub, 128), lambda i, s: (s, i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
             blk = (
-                (L, nblk, 8, 128) if self.ncomp == 1
-                else (L, 2, nblk, 8, 128)
+                (L, nb2, sub, 128) if self.ncomp == 1
+                else (L, 2, nb2, sub, 128)
             )
 
             def kernel(ax, ay, az, px, py, skip, neg, ox, oy, oz):
@@ -338,7 +356,7 @@ class _PointKernels:
 
             self._calls[key] = pl.pallas_call(
                 kernel,
-                grid=(nblk, S),
+                grid=(nb2, S),
                 in_specs=[acc_spec] * 3 + [pt_spec] * 2 + [mask_spec] * 2,
                 out_specs=[acc_spec] * 3,
                 out_shape=[
@@ -347,14 +365,14 @@ class _PointKernels:
                 interpret=self.interpret,
             )
         if self.ncomp == 1:
-            accb = [t.reshape(L, nblk, 8, 128) for t in acc]
-            ptb = [t.reshape(L, S, nblk, 8, 128) for t in (qx, qy)]
+            accb = [t.reshape(L, nb2, sub, 128) for t in acc]
+            ptb = [t.reshape(L, S, nb2, sub, 128) for t in (qx, qy)]
             flat = (L, -1)
         else:
-            accb = [t.reshape(L, 2, nblk, 8, 128) for t in acc]
-            ptb = [t.reshape(L, 2, S, nblk, 8, 128) for t in (qx, qy)]
+            accb = [t.reshape(L, 2, nb2, sub, 128) for t in acc]
+            ptb = [t.reshape(L, 2, S, nb2, sub, 128) for t in (qx, qy)]
             flat = (L, 2, -1)
-        maskb = [m.reshape(S, nblk, 8, 128) for m in (skip_u32, neg_u32)]
+        maskb = [m.reshape(S, nb2, sub, 128) for m in (skip_u32, neg_u32)]
         outs = self._calls[key](*accb, *ptb, *maskb)
         return tuple(o.reshape(flat) for o in outs)
 

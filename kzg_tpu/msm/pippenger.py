@@ -226,12 +226,17 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
     w_count = digits.shape[0]
     buckets = 1 << c
     bucket_ids = jnp.arange(buckets, dtype=jnp.int32)
-    # x/y/inf interleaved so the inner loop issues ONE gather per step
+    # x/y/inf interleaved ROW-MAJOR — (N, 2K+1), one point per row — so
+    # every bucket-loop gather reads each point as ONE contiguous ~200B
+    # run instead of 2K+1 strided 4B reads. The column-major layout made
+    # the chunk gathers the dominant MSM cost (device trace: 1.87s of a
+    # 4.4s 2^20 MSM in gathers at ~3.4GB/s effective, vs 0.50s in the
+    # madd kernels).
     K = int(np.prod(elem_shape))
     stacked = jnp.concatenate(
         [xa.reshape(K, n), ya.reshape(K, n), inf[None].astype(xa.dtype)],
         axis=0,
-    )
+    ).T  # (N, 2K+1)
 
     # static trip cap for the data-dependent bucket loop: ~4x the mean load
     # + slack. Random digit histograms stay far below it; adversarially
@@ -244,7 +249,7 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
     def window(carry, dw):
         order = jnp.argsort(dw)
         ds = jnp.take(dw, order)
-        sp = jnp.take(stacked, order, axis=-1)
+        sp = jnp.take(stacked, order, axis=0)  # (N, 2K+1) row permute
         start = jnp.searchsorted(ds, bucket_ids, side="left").astype(jnp.int32)
         end = jnp.searchsorted(ds, bucket_ids, side="right").astype(jnp.int32)
         count = (end - start).at[0].set(0)  # bucket 0 contributes nothing
@@ -254,7 +259,7 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
         def kbody(k, acc):
             idx = jnp.clip(start + k, 0, n - 1)
             valid = k < count
-            g = jnp.take(sp, idx, axis=-1)
+            g = jnp.take(sp, idx, axis=0).T  # (2K+1, B)
             qx = g[:K].reshape(elem_shape + (buckets,))
             qy = g[K: 2 * K].reshape(elem_shape + (buckets,))
             qinf = g[2 * K] != 0
@@ -271,7 +276,7 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
             ks = j * fuse + jnp.arange(fuse, dtype=jnp.int32)  # (S,)
             pos = jnp.clip(start[None, :] + ks[:, None], 0, n - 1)
             valid = ks[:, None] < count[None, :]  # (S, B)
-            g = jnp.take(sp, pos.reshape(-1), axis=-1)  # (2K+1, S*B)
+            g = jnp.take(sp, pos.reshape(-1), axis=0).T  # (2K+1, S*B)
             qx = g[:K].reshape(elem_shape + (fuse, buckets))
             qy = g[K: 2 * K].reshape(elem_shape + (fuse, buckets))
             qinf = g[2 * K].reshape(fuse, buckets) != 0
@@ -286,9 +291,10 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
             return jax.lax.fori_loop(0, maxc, kbody, acc0)
 
         def segscan(_):
-            px = sp[:K].reshape(elem_shape + (n,))
-            py = sp[K: 2 * K].reshape(elem_shape + (n,))
-            live = jnp.logical_and(ds > 0, sp[2 * K] == 0)
+            spc = sp.T  # (2K+1, N) — the rare fallback pays one transpose
+            px = spc[:K].reshape(elem_shape + (n,))
+            py = spc[K: 2 * K].reshape(elem_shape + (n,))
+            live = jnp.logical_and(ds > 0, spc[2 * K] == 0)
             z = jnp.where(
                 curve.fa.expand(live), curve.fa.one((n,)), curve.fa.zeros((n,))
             )
@@ -350,10 +356,11 @@ def _msm_impl_signed(curve, xa, ya, inf, scalars_std, c: int):
     nb = half
     bucket_ids = jnp.arange(1, half + 1, dtype=jnp.int32)
     K = int(np.prod(elem_shape))
+    # row-major, one point per row (see _msm_impl layout note)
     stacked = jnp.concatenate(
         [xa.reshape(K, n), ya.reshape(K, n), inf[None].astype(xa.dtype)],
         axis=0,
-    )
+    ).T  # (N, 2K+1)
     cap = 4 * (n // nb + 1) + 64
     idx_n = jnp.arange(n)
 
@@ -362,7 +369,7 @@ def _msm_impl_signed(curve, xa, ya, inf, scalars_std, c: int):
         order = jnp.argsort(dw)
         ds = jnp.take(dw, order)
         ns = jnp.take(ng, order)
-        sp = jnp.take(stacked, order, axis=-1)
+        sp = jnp.take(stacked, order, axis=0)  # (N, 2K+1)
         start = jnp.searchsorted(ds, bucket_ids, side="left").astype(jnp.int32)
         end = jnp.searchsorted(ds, bucket_ids, side="right").astype(jnp.int32)
         count = end - start
@@ -372,7 +379,7 @@ def _msm_impl_signed(curve, xa, ya, inf, scalars_std, c: int):
         def kbody(k, acc):
             idx = jnp.clip(start + k, 0, n - 1)
             valid = k < count
-            g = jnp.take(sp, idx, axis=-1)
+            g = jnp.take(sp, idx, axis=0).T  # (2K+1, nb)
             qx = g[:K].reshape(elem_shape + (nb,))
             qy = g[K: 2 * K].reshape(elem_shape + (nb,))
             qneg = jnp.take(ns, idx)
@@ -389,7 +396,7 @@ def _msm_impl_signed(curve, xa, ya, inf, scalars_std, c: int):
             ks = j * fuse + jnp.arange(fuse, dtype=jnp.int32)
             pos = jnp.clip(start[None, :] + ks[:, None], 0, n - 1)
             valid = ks[:, None] < count[None, :]
-            g = jnp.take(sp, pos.reshape(-1), axis=-1)
+            g = jnp.take(sp, pos.reshape(-1), axis=0).T  # (2K+1, S*nb)
             qx = g[:K].reshape(elem_shape + (fuse, nb))
             qy = g[K: 2 * K].reshape(elem_shape + (fuse, nb))
             qneg = jnp.take(ns, pos.reshape(-1)).reshape(fuse, nb)
@@ -405,10 +412,11 @@ def _msm_impl_signed(curve, xa, ya, inf, scalars_std, c: int):
             return jax.lax.fori_loop(0, maxc, kbody, acc0)
 
         def segscan(_):
-            px = sp[:K].reshape(elem_shape + (n,))
-            py = sp[K: 2 * K].reshape(elem_shape + (n,))
+            spc = sp.T  # (2K+1, N)
+            px = spc[:K].reshape(elem_shape + (n,))
+            py = spc[K: 2 * K].reshape(elem_shape + (n,))
             py = jnp.where(curve.fa.expand(ns), curve.fa.neg(py), py)
-            live = jnp.logical_and(ds > 0, sp[2 * K] == 0)
+            live = jnp.logical_and(ds > 0, spc[2 * K] == 0)
             z = jnp.where(
                 curve.fa.expand(live), curve.fa.one((n,)), curve.fa.zeros((n,))
             )
@@ -536,7 +544,10 @@ def _msm_impl_v2(curve, xa, ya, inf, scalars_std, c: int,
     )(ds).astype(jnp.int32)
     count = (end - start).at[:, 0].set(0)  # bucket 0 contributes nothing
     maxc = jnp.max(count)
-    stacked = jnp.concatenate([xa.reshape(K, n), ya.reshape(K, n)], axis=0)
+    # row-major, one point per row (see _msm_impl layout note)
+    stacked = jnp.concatenate(
+        [xa.reshape(K, n), ya.reshape(K, n)], axis=0
+    ).T  # (N, 2K)
 
     wb = (w_count, buckets)
 
@@ -544,7 +555,7 @@ def _msm_impl_v2(curve, xa, ya, inf, scalars_std, c: int,
         pos = jnp.clip(start + k, 0, n - 1)  # (W, B)
         valid = k < count
         oi = jnp.take_along_axis(order, pos, axis=-1)  # (W, B) original idx
-        g = jnp.take(stacked, oi, axis=-1)  # (2K, W, B)
+        g = jnp.take(stacked, oi.reshape(-1), axis=0).T  # (2K, W*B)
         qx = g[:K].reshape(elem_shape + wb)
         qy = g[K:].reshape(elem_shape + wb)
         return (qx, qy), ~valid
@@ -583,7 +594,7 @@ def _msm_impl_v2(curve, xa, ya, inf, scalars_std, c: int,
         oi = jnp.take_along_axis(
             jnp.broadcast_to(order[None], (fuse,) + order.shape), pos, axis=-1
         )
-        g = jnp.take(stacked, oi.reshape(-1), axis=-1)  # (2K, S*W*B)
+        g = jnp.take(stacked, oi.reshape(-1), axis=0).T  # (2K, S*W*B)
         qx = g[:K].reshape(elem_shape + (fuse, wb_flat))
         qy = g[K:].reshape(elem_shape + (fuse, wb_flat))
         skip = ~valid.reshape(fuse, wb_flat)
@@ -609,7 +620,7 @@ def _msm_impl_v2(curve, xa, ya, inf, scalars_std, c: int,
 
         def wbody(carry, inputs):
             ds_w, order_w = inputs
-            sp = jnp.take(stacked, order_w, axis=-1)  # (2K, N) sorted pts
+            sp = jnp.take(stacked, order_w, axis=0).T  # (2K, N) sorted pts
             px = sp[:K].reshape(elem_shape + (n,))
             py = sp[K:].reshape(elem_shape + (n,))
             z = jnp.where(
@@ -713,11 +724,13 @@ def msm(curve, points, scalars_mont, c: int | None = None):
     else:
         impl = _msm_impl_v2
     # key by curve NAME, not id(): id() of a collected object can be reused,
-    # which would be a latent wrong-curve cache hit. The threshold and fuse
-    # depth are part of the key because they are baked in at trace time.
+    # which would be a latent wrong-curve cache hit. The threshold, fuse
+    # depth and kernel-shape knobs are part of the key because they are
+    # baked in at trace time.
     key = (
         curve.name, c, cfg.msm_impl, cfg.small_msm_threshold,
-        cfg.msm_fuse_steps,
+        cfg.msm_fuse_steps, cfg.msm_blocks_per_program,
+        cfg.msm_gate_rare_dbl,
     )
     if key not in _jitted:
         cur = curve

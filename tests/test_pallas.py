@@ -187,6 +187,62 @@ def test_madd_multi_matches_step_loop(rng):
         assert np.array_equal(np.asarray(g_), np.asarray(e_))
 
 
+def test_madd_multi_blocks_per_program(rng):
+    """madd_multi with multiple 1024-lane blocks per kernel program, and
+    with the rare-doubling cond disabled, must be bit-identical to the
+    default single-block gated configuration (config knobs
+    msm_blocks_per_program / msm_gate_rare_dbl). Kernel-vs-kernel: the
+    F=1 baseline is pinned against the XLA group law by
+    test_madd_multi_matches_step_loop above."""
+    from kzg_tpu.config import configure, get_config
+    from kzg_tpu.curve.ops import CurveOps
+    from kzg_tpu.curve import FPA, g1_generator_device
+    from kzg_tpu.curve.pallas_ops import _PointKernels
+
+    ref = CurveOps(FPA, name="G1ref")
+    n, S = 2 * B, 2
+    acc = _ladder_points(ref, g1_generator_device(n), n, rng)
+    qs = [
+        ref.to_affine(_ladder_points(ref, g1_generator_device(n), n, rng))
+        for _ in range(S)
+    ]
+    skip = np.asarray([[rng.random() < 0.3 for _ in range(n)] for _ in range(S)])
+    # a doubling collision on an unskipped lane (exercises the ungated path)
+    acc_aff = ref.to_affine(acc)
+    q0 = tuple(np.asarray(t).copy() for t in qs[0][:2])
+    q0[0][:, 7] = np.asarray(acc_aff[0])[:, 7]
+    q0[1][:, 7] = np.asarray(acc_aff[1])[:, 7]
+    skip[0][7] = False
+    qs[0] = (jnp.asarray(q0[0]), jnp.asarray(q0[1]), qs[0][2])
+
+    qx = jnp.stack([q[0] for q in qs], axis=1).reshape(FP.L, S, -1)
+    qy = jnp.stack([q[1] for q in qs], axis=1).reshape(FP.L, S, -1)
+    skip_all = (jnp.asarray(skip) | jnp.stack([q[2] for q in qs])).astype(
+        jnp.uint32
+    )
+    neg = jnp.zeros_like(skip_all)
+    accf = tuple(t.reshape(FP.L, -1) for t in acc)
+
+    old = get_config()
+    results = {}
+    try:
+        for blocks, gate in ((1, True), (2, True), (2, False)):
+            configure(msm_blocks_per_program=blocks, msm_gate_rare_dbl=gate)
+            kern = _PointKernels(FP, ncomp=1, interpret=True)
+            results[(blocks, gate)] = kern.madd_multi(
+                accf, qx, qy, skip_all, neg
+            )
+    finally:
+        configure(
+            msm_blocks_per_program=old.msm_blocks_per_program,
+            msm_gate_rare_dbl=old.msm_gate_rare_dbl,
+        )
+    base = results[(1, True)]
+    for key in ((2, True), (2, False)):
+        for g_, e_ in zip(results[key], base):
+            assert np.array_equal(np.asarray(g_), np.asarray(e_)), key
+
+
 def test_mxu_dft_matches_vpu_ntt(rng):
     """The matmul-DFT block (ntt/mxu.py, reduce epilogue in interpret mode)
     against the VPU butterfly path at a couple of block sizes."""

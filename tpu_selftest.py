@@ -111,6 +111,38 @@ def main():
                 )
         return "fused Mosaic madd == XLA group law (1024 + padded 384 lanes)"
 
+    @check("pallas_g2_madd_vs_xla")
+    def _madd_g2():
+        from kzg_tpu.curve import FP2A, G2, g2_generator_device
+        from kzg_tpu.curve.ops import CurveOps
+        from kzg_tpu.curve.pallas_ops import PallasCurveOps
+
+        assert isinstance(G2, PallasCurveOps), "G2 is not Pallas-backed here"
+        ref = CurveOps(FP2A, name="G2ref")
+        for n in (1024, 384):
+            ks = np.array([rng.randrange(1, 1 << 20) for _ in range(n)])
+            bits = ((ks[None, :] >> np.arange(20)[:, None]) & 1).astype(
+                np.uint32
+            )
+            p = ref.scalar_mul_bits(g2_generator_device(n), jnp.asarray(bits))
+            ks2 = np.array([rng.randrange(1, 1 << 20) for _ in range(n)])
+            bits2 = ((ks2[None, :] >> np.arange(20)[:, None]) & 1).astype(
+                np.uint32
+            )
+            q = ref.to_affine(
+                ref.scalar_mul_bits(g2_generator_device(n), jnp.asarray(bits2))
+            )
+            skip = np.zeros(n, bool)
+            skip[3] = True
+            skip_j = jnp.asarray(skip)
+            got = G2.madd(p, (q[0], q[1]), skip_j)
+            exp = ref.madd(p, (q[0], q[1]), skip_j)
+            for g_, e_ in zip(got, exp):
+                assert np.array_equal(np.asarray(g_), np.asarray(e_)), (
+                    f"G2 madd mismatch at n={n}"
+                )
+        return "fused Mosaic Fp2 madd == XLA group law (1024 + padded 384)"
+
     @check("ntt_roundtrip_and_spot_eval")
     def _ntt():
         from kzg_tpu.ntt import Domain
