@@ -76,6 +76,11 @@ class KZGConfig:
     # --- polynomial layer ----------------------------------------------
     # quotient length above which long division switches scan -> Newton
     newton_div_threshold: int = 32
+    # linear division (the single-point witness quotient) switches from the
+    # one-shot suffix scan to the chunked Horner-carry scan above
+    # 2^(this+1) coefficients; chunks are 2^this wide. Bounds the ~8x
+    # full-length temporary footprint that OOMs the chip at 2^24.
+    div_chunk_log: int = 20
     # point count at which multipoint evaluation switches direct -> tree
     tree_eval_threshold: int = 64
 
@@ -119,6 +124,8 @@ class KZGConfig:
             raise ValueError(f"bad ntt_mxu {self.ntt_mxu!r}")
         if not (4 <= self.msm_chunk_log):
             raise ValueError("msm_chunk_log must be >= 4")
+        if not (8 <= self.div_chunk_log):
+            raise ValueError("div_chunk_log must be >= 8")
         if not (1 <= self.msm_fuse_steps <= 256):
             raise ValueError("msm_fuse_steps must be in [1, 256]")
         if not (1 <= self.msm_blocks_per_program <= 64):

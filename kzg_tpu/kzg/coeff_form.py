@@ -82,7 +82,7 @@ class KZGProver:
         ymont = jnp.asarray(FR.encode([y % R]))
         f_minus_y = fm.at[:, 0].set(FR.sub(fm[:, 0:1], ymont)[:, 0])
         shifted = Polynomial(f_minus_y, poly.degree)
-        q, _ = shifted.div_by_linear(x)
+        q, _ = shifted.div_by_linear(x, want_rem=False)
         if q.num_coeffs() == 0 or poly.degree == 0:
             return G1.infinity(())
         return msm_g1(_slice_srs(self.params.gs, q.num_coeffs()), q.trimmed())

@@ -142,6 +142,59 @@ def _div_by_linear(f, x):
     return q, rem
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _div_by_linear_big(f, x, chunk_log: int):
+    """Memory-bounded `_div_by_linear` for a SINGLE divisor (k == 1).
+
+    The one-shot suffix-scan formulation materialises ~8 full-length
+    (L, n) temporaries; at the 2^24 north star that is ~8 GB on top of the
+    resident SRS and OOMs the chip (measured: the round-3 bench e2e witness
+    phase died RESOURCE_EXHAUSTED). This variant scans 2^chunk_log-wide
+    chunks high-to-low with a Horner carry, so live temporaries are O(chunk)
+    while the output quotient is still one (L, n-1) array:
+
+      q_{cm+jl} = xinv^{jl+1} * V_c[jl+1]  +  x^{m-1-jl} * C_{c+1}
+      V_c[j]    = sum_{i>=j, in chunk} f_i x^i          (local suffix sum)
+      C_c       = V_c[0] + x^m * C_{c+1}                (value of f's tail)
+
+    with rem = C_0 = f(x). x == 0 falls back to the coefficient shift, as
+    in `_div_by_linear`."""
+    n = f.shape[-1]
+    m = 1 << chunk_log
+    npad = -(-n // m) * m
+    fp = _pad_to(f, npad)
+    nch = npad // m
+    chunks = jnp.moveaxis(fp.reshape(FR.L, nch, m), 1, 0)[::-1]  # high->low
+
+    xrow = jnp.broadcast_to(x, (FR.L, m))
+    pw = FR.prefix_mul(xrow)  # x^1 .. x^m
+    powx = jnp.concatenate([FR.one((1,)), pw[..., : m - 1]], axis=-1)
+    xm = pw[..., m - 1]  # (L,)
+    xinv = FR.batch_inv(x)  # (L, 1); inv(0) = 0 keeps everything finite
+    pwinv = FR.prefix_mul(jnp.broadcast_to(xinv, (FR.L, m)))  # xinv^1..xinv^m
+    powrev = jnp.flip(powx, -1)  # x^(m-1) .. x^0
+
+    def body(carry, fc):
+        u = FR.mul(fc, powx)
+        v = FR.prefix_add(u, reverse=True)  # inclusive suffix sums
+        vexcl = jnp.concatenate([v[..., 1:], FR.zeros((1,))], axis=-1)
+        qc = FR.add(FR.mul(pwinv, vexcl), FR.mul(powrev, carry[..., None]))
+        new_carry = FR.add(v[..., 0], FR.mul(xm, carry))
+        return new_carry, qc
+
+    rem, qs = jax.lax.scan(body, FR.zeros(()), chunks)
+    q = jnp.moveaxis(qs[::-1], 0, 1).reshape(FR.L, npad)
+    nq = max(n - 1, 1)
+    q = q[..., :nq]
+    # x == 0: quotient is f shifted down one
+    zero = FR.is_zero(x)[None, :, None]  # (1, 1, 1)
+    q = jnp.where(zero[:, 0], _pad_to(f[..., 1:], nq), q)
+    return q[:, None, :], rem[..., None]
+
+
 def _long_division(f, d, nf: int, nd: int):
     """Schoolbook long division with a single compiled scan body.
 
@@ -369,11 +422,26 @@ class Polynomial:
             return qp, None
         return qp, rp
 
-    def div_by_linear(self, x: int):
-        """Fast path: divide by (X - x); returns (quotient, remainder_int)."""
+    def div_by_linear(self, x: int, want_rem: bool = True):
+        """Fast path: divide by (X - x); returns (quotient, remainder_int).
+
+        want_rem=False skips decoding the remainder (a blocking
+        device->host transfer) and returns (quotient, None) — used by the
+        prover's pipelined witness path where the remainder is known-zero.
+
+        Polynomials above 2^div_chunk_log+1 coefficients use the chunked
+        Horner-carry scan (`_div_by_linear_big`) so peak HBM stays bounded
+        at the 2^24 north star."""
+        from ..config import get_config
+
         pt = jnp.asarray(FR.encode([x]))
-        q, rem = _div_by_linear(self.trimmed(), pt)
-        return Polynomial(q[:, 0, :], max(0, self.degree - 1)), FR.decode(rem)[0]
+        chunk_log = get_config().div_chunk_log
+        if self.num_coeffs() > (2 << chunk_log):
+            q, rem = _div_by_linear_big(self.trimmed(), pt, chunk_log)
+        else:
+            q, rem = _div_by_linear(self.trimmed(), pt)
+        qp = Polynomial(q[:, 0, :], max(0, self.degree - 1))
+        return qp, (FR.decode(rem)[0] if want_rem else None)
 
     def __eq__(self, other):
         # Mathematical equality: compare the padded coefficient arrays rather
