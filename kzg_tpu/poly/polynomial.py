@@ -22,6 +22,8 @@ Algorithm choices (TPU-first, not translations):
     recursion on a vector machine for the protocol's batch sizes.
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -92,11 +94,12 @@ def _mul_naive(a, b):
 def _eval_many(coeffs, pts):
     """Evaluate one polynomial (L, n) at many points (L, k) -> (L, k).
 
-    Chunked power method: inner dot over a 512-wide power table, outer
-    lax.scan over chunks (Horner in X^512). Depth O(n/512 + log)."""
+    Chunked power method: inner dot over a 4096-wide power table, outer
+    lax.scan over chunks (Horner in X^4096). Depth O(n/4096 + log);
+    the table is (L, k, 4096) — small even for many points."""
     n = coeffs.shape[-1]
     k = pts.shape[-1]
-    c = min(512, n)
+    c = min(4096, n)
     npad = -(-n // c) * c
     coeffs = _pad_to(coeffs, npad)
     # power table pts^0 .. pts^(c-1): (L, k, c)
@@ -140,9 +143,6 @@ def _div_by_linear(f, x):
     qz = jnp.broadcast_to(f[:, None, 1:], q.shape)
     q = jnp.where(zero, qz, q)
     return q, rem
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -193,6 +193,39 @@ def _div_by_linear_big(f, x, chunk_log: int):
     zero = FR.is_zero(x)[None, :, None]  # (1, 1, 1)
     q = jnp.where(zero[:, 0], _pad_to(f[..., 1:], nq), q)
     return q[:, None, :], rem[..., None]
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _div_stream_consts(x, chunk_log: int):
+    """Per-divisor constants for the STREAMED linear division (the chunk
+    recurrence of `_div_by_linear_big`, factored out so the protocol layer
+    can interleave each quotient chunk with its MSM partial instead of
+    materialising the full (L, n-1) quotient — the r3 2^24 witness OOM,
+    VERDICT item 1). x: (L, 1) Montgomery; requires x != 0 (the caller
+    host-checks and falls back to the shift path)."""
+    m = 1 << chunk_log
+    xrow = jnp.broadcast_to(x, (FR.L, m))
+    pw = FR.prefix_mul(xrow)  # x^1 .. x^m
+    powx = jnp.concatenate([FR.one((1,)), pw[..., : m - 1]], axis=-1)
+    xm = pw[..., m - 1]  # (L,)
+    xinv = FR.batch_inv(x)
+    pwinv = FR.prefix_mul(jnp.broadcast_to(xinv, (FR.L, m)))
+    powrev = jnp.flip(powx, -1)  # x^(m-1) .. x^0
+    return powx, pwinv, powrev, xm
+
+
+@jax.jit
+def _div_stream_chunk(fc, carry, powx, pwinv, powrev, xm):
+    """One high-to-low chunk step of the linear-division Horner recurrence
+    (identical math to `_div_by_linear_big`'s scan body): given this chunk's
+    coefficients fc (L, m) and the value-of-the-tail carry, returns
+    (quotient chunk (L, m), new carry). The final carry is f(x)."""
+    u = FR.mul(fc, powx)
+    v = FR.prefix_add(u, reverse=True)  # inclusive suffix sums
+    vexcl = jnp.concatenate([v[..., 1:], FR.zeros((1,))], axis=-1)
+    qc = FR.add(FR.mul(pwinv, vexcl), FR.mul(powrev, carry[..., None]))
+    new_carry = FR.add(v[..., 0], FR.mul(xm, carry))
+    return qc, new_carry
 
 
 def _long_division(f, d, nf: int, nd: int):

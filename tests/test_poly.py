@@ -111,6 +111,73 @@ def test_div_by_linear(rng):
     assert rem0 == cs[0] and q0.to_ints() == cs[1:]
 
 
+def py_div_by_linear(cs, x):
+    """Synthetic-division oracle: (quotient low-to-high, remainder)."""
+    q = [0] * (len(cs) - 1)
+    acc = 0
+    for i in range(len(cs) - 1, 0, -1):
+        acc = (acc * x + cs[i]) % R
+        q[i - 1] = acc
+    rem = (acc * x + cs[0]) % R
+    return q, rem
+
+
+@pytest.mark.parametrize("n", [500, 512, 513, 1025])
+def test_div_by_linear_big_parity(n, rng):
+    """The chunked Horner-carry division (`_div_by_linear_big`) — the
+    production-size witness-quotient path, normally active only above
+    2^(div_chunk_log+1) — pinned against the synthetic-division oracle at
+    small sizes by forcing div_chunk_log down to 8 (ADVICE r3 item 1)."""
+    from kzg_tpu.config import configure, get_config
+
+    cs = [rng.randrange(R) for _ in range(n)]
+    x = rng.randrange(R)
+    p = Polynomial.from_ints(cs)
+    old = get_config().div_chunk_log
+    try:
+        configure(div_chunk_log=8)  # chunked path activates above 512
+        q, rem = p.div_by_linear(x)
+        qw, remw = py_div_by_linear(cs, x)
+        assert rem == remw
+        assert q.to_ints() == qw
+        # x = 0 edge: quotient is the coefficient shift
+        q0, rem0 = p.div_by_linear(0)
+        assert rem0 == cs[0] and q0.to_ints() == cs[1:]
+    finally:
+        configure(div_chunk_log=old)
+
+
+def test_div_stream_chunk_parity(rng):
+    """The streamed per-chunk division recurrence (_div_stream_consts /
+    _div_stream_chunk — the 2^24 witness streaming path) reproduces the
+    one-shot quotient chunk-by-chunk, including the final carry == f(x)."""
+    import jax.numpy as jnp
+    from kzg_tpu.poly.polynomial import (
+        _div_stream_consts,
+        _div_stream_chunk,
+        _pad_to,
+    )
+
+    chunk_log, n = 4, 57  # n deliberately not a multiple of the chunk
+    m = 1 << chunk_log
+    cs = [rng.randrange(R) for _ in range(n)]
+    x = rng.randrange(R)
+    f = jnp.asarray(FR.encode(cs))
+    consts = _div_stream_consts(jnp.asarray(FR.encode([x])), chunk_log)
+    carry = FR.zeros(())
+    nch = -(-n // m)
+    got = [None] * nch
+    for ci in range(nch - 1, -1, -1):
+        fc = _pad_to(f[..., ci * m : (ci + 1) * m], m)
+        qc, carry = _div_stream_chunk(fc, carry, *consts)
+        got[ci] = qc
+    q_ints = FR.decode(jnp.concatenate(got, axis=-1))
+    qw, remw = py_div_by_linear(cs, x)
+    assert FR.decode(carry[:, None])[0] == remw
+    assert q_ints[: n - 1] == qw
+    assert all(v == 0 for v in q_ints[n - 1 :])  # structural-zero tail
+
+
 def test_vanishing_poly(rng):
     for k in [1, 2, 3, 5, 8]:
         xs = [rng.randrange(R) for _ in range(k)]
