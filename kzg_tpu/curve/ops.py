@@ -300,6 +300,79 @@ class CurveOps:
         acc, _ = jax.lax.fori_loop(0, nbits, body, (acc0, p))
         return acc
 
+    def window_join(self, s_all, c: int):
+        """Pippenger Horner join sum_w 2^(c*w) * s_all[..., w] over the
+        last axis -> batch-() Jacobian point. (PallasCurveOps overrides
+        with a single fused kernel.)"""
+        w_count = s_all[0].shape[-1]
+
+        def join(i, acc):
+            acc = jax.lax.fori_loop(0, c, lambda _, a: self.dbl(a), acc)
+            s_w = tuple(t[..., w_count - 1 - i] for t in s_all)
+            return self.add(acc, s_w)
+
+        return jax.lax.fori_loop(0, w_count, join, self.infinity(()))
+
+    def scalar_mul_digits(self, p, digits, c: int):
+        """p * k via a windowed MSB-first ladder: digits (W, *batch) int32
+        in [0, 2^c), digits[0] = MOST significant window.
+
+        Builds the 2^c - 1 multiples of p once (2^c - 2 adds + one batched
+        affine normalisation), then W iterations of (c doublings + one
+        masked table-madd). For 255-bit scalars at c = 4 this is ~2x fewer
+        field muls than the 255-step bit ladder (`scalar_mul_bits`): 256
+        dbls + 64 madds + a 14-add table vs 255 (dbl + full add). Table
+        memory is (2^c - 1) x 3 coords x batch — callers pick c to fit
+        (the Lagrange-SRS group-iNTT uses config.group_ladder_window)."""
+        assert c >= 1
+        T = (1 << c) - 1
+        bd = self._bdim()
+        # table of multiples 1..T of p, built with a fori_loop so the trace
+        # holds ONE add (an unrolled chain of T-1 Jacobian adds is ~50k HLOs
+        # at c=4 and made the CPU-backend compile of the group-iNTT pass the
+        # 20-minute alarm)
+        tab0 = tuple(
+            jnp.zeros(t.shape[:bd] + (T,) + t.shape[bd:], t.dtype) for t in p
+        )
+        tab0 = tuple(
+            jax.lax.dynamic_update_index_in_dim(tb, t, 0, axis=bd)
+            for tb, t in zip(tab0, p)
+        )
+
+        def build(i, carry):
+            cur, tb = carry
+            cur = self.add(cur, p)
+            tb = tuple(
+                jax.lax.dynamic_update_index_in_dim(t, u, i, axis=bd)
+                for t, u in zip(tb, cur)
+            )
+            return cur, tb
+
+        _, stacked = jax.lax.fori_loop(1, T, build, (p, tab0))
+        tx, ty, _ = self.to_affine(stacked)  # (L[,2], T, *batch)
+        p_inf = self.is_inf(p)  # every multiple of infinity is infinity
+
+        def sel(tab, idx):
+            # idx in [1, T] selects multiple idx (one gather over the table
+            # axis); idx == 0 lanes are skip-masked in the madd, so the
+            # clamped entry serves there
+            i0 = jnp.clip(idx - 1, 0, T - 1)
+            ie = jnp.expand_dims(self.fa.expand(i0), axis=bd)
+            return jnp.take_along_axis(tab, ie, axis=bd).squeeze(axis=bd)
+
+        W = digits.shape[0]
+
+        def body(w, acc):
+            acc = jax.lax.fori_loop(0, c, lambda _, a: self.dbl(a), acc)
+            d = digits[w]
+            qx = sel(tx, d)
+            qy = sel(ty, d)
+            skip = jnp.logical_or(d == 0, p_inf)
+            return self.madd(acc, (qx, qy), skip)
+
+        acc0 = self.infinity(digits.shape[1:])
+        return jax.lax.fori_loop(0, W, body, acc0)
+
     # ---- affine conversion ------------------------------------------------------------
 
     def to_affine(self, p):

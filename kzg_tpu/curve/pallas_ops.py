@@ -46,6 +46,11 @@ def _mask_spec():
     return pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
+def _log2(x: int) -> int:
+    assert x & (x - 1) == 0
+    return x.bit_length() - 1
+
+
 class _PointKernels:
     """Fused point-op kernels, generic over the coordinate field.
 
@@ -380,6 +385,281 @@ class _PointKernels:
         """In-kernel field negation (zero-safe): -y = mod - y, 0 -> 0."""
         return self.ops.neg(y)
 
+    def bucket_accumulate(self, acc, sp_rows, start, count, cap: int):
+        """Whole-window Pippenger bucket accumulation in ONE launch, with
+        the point fetch done by in-kernel DMA over CONTIGUOUS sorted runs.
+
+        The r4 device trace put the per-step XLA chunk gathers at 1.87s of
+        a 4.4s 2^20 MSM (~70ns per 132B row — latency/descriptor-bound
+        random-row fetch). After the per-window sort-permute, bucket b's
+        points occupy the contiguous sorted rows [start[b], start[b]+
+        count[b]) — so the fetch can be 16-point ALIGNED RUN chunks (2KB
+        DMAs, 16x fewer descriptors), double-buffered against the madd
+        compute, with the bucket state resident in VMEM the whole window.
+
+        sp_rows: (N//ppm, 128) uint32 — the PERMUTED points, 2*L*ncomp =
+        48*ncomp useful words per point (x limbs then y limbs; no infinity
+        word — callers zero the digits of infinity points so they land in
+        the skipped bucket 0), zero-padded to W_pad = 64*ncomp words so
+        ppm = 128 // W_pad points tile each memref row exactly. Mosaic
+        tiling admits arbitrary-offset sublane slices, so a run chunk
+        starting at the 4-memref-row-aligned floor of start[b] is one
+        (4, 128) DMA; the <= ppm*4-1 points of misalignment slop are
+        skip-masked (start/count in POINT units).
+
+        acc: 3 x (L[,2], B) Jacobian buckets; start/count: (B,) int32;
+        cap: static per-bucket trip bound (callers fall back to the
+        segmented scan when any count exceeds it, as in the XLA impls).
+        Returns the accumulated buckets."""
+        L = self.L  # Fp limb count (24)
+        W_p = 2 * L * self.ncomp   # useful words per point (G1: 48, G2: 96)
+        W_pad = 64 * self.ncomp    # padded row width (G1: 64, G2: 128)
+        ppm = 128 // W_pad  # points per 128-word memref row (G1: 2, G2: 1)
+        pc = 4 * ppm        # points per (4, 128) DMA chunk (G1: 8, G2: 4)
+        B = acc[0].shape[-1]
+        nblk = B // LANES
+        n_rows = sp_rows.shape[0]
+        key = ("bucket_accumulate", B, n_rows, cap, self.ncomp)
+        if key not in self._calls:
+            if self.ncomp == 1:
+                acc_spec = pl.BlockSpec(
+                    (L, 1, 8, 128), lambda i: (0, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            else:
+                acc_spec = pl.BlockSpec(
+                    (L, 2, 1, 8, 128), lambda i: (0, 0, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            iv_spec = pl.BlockSpec(
+                (1, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+            rows_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            trips = -(-(cap + pc - 1) // pc)  # bound incl. alignment slop
+
+            def kernel(start_ref, cnt_ref, rows_ref,
+                       ax, ay, az, ox, oy, oz, buf, sems):
+                ox[...] = ax[...]
+                oy[...] = ay[...]
+                oz[...] = az[...]
+                startv = start_ref[0, :]  # (1024,) point units
+                cntv = cnt_ref[0, :]
+                base_mrow = jnp.right_shift(startv, _log2(ppm))
+                slop = startv - base_mrow * ppm
+                # per-block trip count: ceil((count + slop) / pc)
+                tmax = jnp.max(
+                    jnp.right_shift(cntv + slop + (pc - 1), _log2(pc))
+                )
+                max_mrow = n_rows - 4
+
+                def issue(j, slot):
+                    def ibody(b, _):
+                        g0 = jnp.minimum(
+                            start_ref[0, b] // ppm + 4 * j, max_mrow
+                        )
+                        pltpu.make_async_copy(
+                            rows_ref.at[pl.ds(g0, 4), :],
+                            buf.at[slot, b],
+                            sems.at[slot],
+                        ).start()
+                        return 0
+
+                    jax.lax.fori_loop(0, LANES, ibody, 0)
+
+                def wait(slot):
+                    def wbody(b, _):
+                        pltpu.make_async_copy(
+                            rows_ref.at[pl.ds(0, 4), :],
+                            buf.at[slot, b],
+                            sems.at[slot],
+                        ).wait()
+                        return 0
+
+                    jax.lax.fori_loop(0, LANES, wbody, 0)
+
+                # guard: with every bucket in this block empty (tmax == 0)
+                # the loop never runs, so the warm-up DMAs must not be
+                # issued either (they would still be in flight at return)
+                @pl.when(tmax > 0)
+                def _():
+                    issue(0, 0)
+
+                startm = startv.reshape(8, 128)
+                cntm = cntv.reshape(8, 128)
+                basem = base_mrow.reshape(8, 128) * ppm
+
+                def body(j, _):
+                    slot = jax.lax.rem(j, 2)
+
+                    @pl.when(j + 1 < tmax)
+                    def _():
+                        issue(j + 1, jax.lax.rem(j + 1, 2))
+
+                    wait(slot)
+                    data = buf[slot]  # (1024, 4, 128)
+                    flat = data.reshape(LANES, 4 * 128)
+                    for s in range(pc):
+                        off = s * W_pad
+                        q = jnp.transpose(
+                            flat[:, off : off + W_p]
+                        )  # (W_p, 1024)
+                        if self.ncomp == 1:
+                            qx = q[:L].reshape(L, 8, 128)
+                            qy = q[L:].reshape(L, 8, 128)
+                        else:
+                            qx = q[: 2 * L].reshape(L, 2, 8, 128)
+                            qy = q[2 * L :].reshape(L, 2, 8, 128)
+                        r = basem + pc * j + s  # absolute point index
+                        valid = jnp.logical_and(
+                            r >= startm, r < startm + cntm
+                        )
+                        skip = (~valid).astype(jnp.uint32)
+                        if self.ncomp == 1:
+                            x1, y1, z1 = ox[:, 0], oy[:, 0], oz[:, 0]
+                        else:
+                            x1, y1, z1 = ox[:, :, 0], oy[:, :, 0], oz[:, :, 0]
+                        x3, y3, z3 = self._madd_vals(x1, y1, z1, qx, qy, skip)
+                        if self.ncomp == 1:
+                            ox[:, 0] = x3
+                            oy[:, 0] = y3
+                            oz[:, 0] = z3
+                        else:
+                            ox[:, :, 0] = x3
+                            oy[:, :, 0] = y3
+                            oz[:, :, 0] = z3
+                    return 0
+
+                jax.lax.fori_loop(0, tmax, body, 0)
+
+            self._calls[key] = pl.pallas_call(
+                kernel,
+                grid=(nblk,),
+                in_specs=[iv_spec, iv_spec, rows_spec] + [acc_spec] * 3,
+                out_specs=[acc_spec] * 3,
+                out_shape=[
+                    jax.ShapeDtypeStruct(
+                        (L, nblk, 8, 128) if self.ncomp == 1
+                        else (L, 2, nblk, 8, 128),
+                        jnp.uint32,
+                    )
+                    for _ in range(3)
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, LANES, 4, 128), jnp.uint32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                interpret=self.interpret,
+            )
+        accb = [self._to_blocks(t) for t in acc]
+        outs = self._calls[key](
+            start.reshape(nblk, LANES),
+            count.reshape(nblk, LANES),
+            sp_rows,
+            *accb,
+        )
+        flat = (L, -1) if self.ncomp == 1 else (L, 2, -1)
+        return tuple(o.reshape(flat) for o in outs)
+
+    def horner_join(self, s_points, c: int):
+        """Pippenger window join S = sum_w 2^(c*w) * S_w in ONE launch.
+
+        s_points: 3x (L[,2], W) Jacobian window sums. The r3 trace showed
+        the XLA-loop join costing 0.53s of a 4.4s 2^20 MSM — W*(c+1)
+        single-point kernel launches at ~23ms each (while.139/add.509 in
+        the trace). Here the whole Horner chain (c doublings + one full
+        Jacobian add per window, MSB window first) runs inside one
+        pallas_call with grid=(W,) and the accumulator resident in the
+        output VMEM block across grid steps; every lane of the 1024-lane
+        tile computes the same values (the op is sequential by nature —
+        wasted lanes, but ~W*(c+1)*25 field muls total is microseconds).
+        Returns a batch-() Jacobian point."""
+        L = self.L
+        W = s_points[0].shape[-1]
+        key = ("horner_join", W, c)
+        if key not in self._calls:
+            if self.ncomp == 1:
+                pt_spec = pl.BlockSpec(
+                    (L, 1, 8, 128), lambda s: (0, W - 1 - s, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                acc_spec = pl.BlockSpec(
+                    (L, 1, 8, 128), lambda s: (0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                blk = (L, 1, 8, 128)
+            else:
+                pt_spec = pl.BlockSpec(
+                    (L, 2, 1, 8, 128), lambda s: (0, 0, W - 1 - s, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                acc_spec = pl.BlockSpec(
+                    (L, 2, 1, 8, 128), lambda s: (0, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                blk = (L, 2, 1, 8, 128)
+
+            def kernel(px, py, pz, ox, oy, oz):
+                s = pl.program_id(0)
+                if self.ncomp == 1:
+                    rd = lambda r: r[:, 0]
+
+                    def wr(r, v):
+                        r[:, 0] = v
+                else:
+                    rd = lambda r: r[:, :, 0]
+
+                    def wr(r, v):
+                        r[:, :, 0] = v
+
+                zero = jnp.zeros_like(rd(px))
+                one = self._one(rd(px).shape[-2:])
+
+                @pl.when(s == 0)
+                def _():
+                    # acc = infinity
+                    wr(ox, one)
+                    wr(oy, one)
+                    wr(oz, zero)
+
+                acc = (rd(ox), rd(oy), rd(oz))
+                for _ in range(c):
+                    d = self._dbl_vals(*acc)
+                    # dbl formulas break on z == 0: keep infinity fixed
+                    inf = self.ops.is_zero(acc[2])
+                    acc = self._sel3(inf, acc, d)
+                q = (rd(px), rd(py), rd(pz))
+                out = self._add_vals(acc, q)
+                wr(ox, out[0])
+                wr(oy, out[1])
+                wr(oz, out[2])
+
+            self._calls[key] = pl.pallas_call(
+                kernel,
+                grid=(W,),
+                in_specs=[pt_spec] * 3,
+                out_specs=[acc_spec] * 3,
+                out_shape=[
+                    jax.ShapeDtypeStruct(blk, jnp.uint32) for _ in range(3)
+                ],
+                interpret=self.interpret,
+            )
+        # broadcast each window's point across one (8, 128) tile
+        if self.ncomp == 1:
+            ins = [
+                jnp.broadcast_to(t[:, :, None, None], (L, W, 8, 128))
+                for t in s_points
+            ]
+        else:
+            ins = [
+                jnp.broadcast_to(t[:, :, :, None, None], (L, 2, W, 8, 128))
+                for t in s_points
+            ]
+        outs = self._calls[key](*ins)
+        # all lanes agree; take lane (0, 0)
+        if self.ncomp == 1:
+            return tuple(o[:, 0, 0, 0] for o in outs)
+        return tuple(o[:, :, 0, 0, 0] for o in outs)
+
     def dbl(self, x, y, z):
         return self._launch(
             "dbl", lambda a, b, c: self._dbl_vals(a, b, c), [x, y, z], [], 3
@@ -486,6 +766,30 @@ class PallasCurveOps(CurveOps):
             tuple(f for f, _ in pf), tuple(f for f, _ in qf)
         )
         return tuple(self._unflatten(t, n, sh) for t in (x3, y3, z3))
+
+    def bucket_accumulate(self, acc, sp_rows, start, count, cap: int):
+        """Whole-window bucket accumulation with in-kernel contiguous-run
+        DMA point fetch (see _PointKernels.bucket_accumulate). TPU-only:
+        callers guard on kernel availability and fall back to the XLA
+        bucket loop."""
+        assert self._kernels is not None
+        return self._kernels.bucket_accumulate(acc, sp_rows, start, count, cap)
+
+    def window_join(self, s_all, c: int):
+        """Horner window join sum_w 2^(c*w) * s_all[..., w] -> batch-()
+        Jacobian point. One fused kernel on TPU (see
+        _PointKernels.horner_join); the XLA fallback is the plain
+        fori_loop of doublings + adds."""
+        if self._flat_ok(s_all[0]) and s_all[0].shape[-1] > 1:
+            return self._kernels.horner_join(s_all, c)
+        w_count = s_all[0].shape[-1]
+
+        def join(i, acc):
+            acc = jax.lax.fori_loop(0, c, lambda _, a: self.dbl(a), acc)
+            s_w = tuple(t[..., w_count - 1 - i] for t in s_all)
+            return self.add(acc, s_w)
+
+        return jax.lax.fori_loop(0, w_count, join, self.infinity(()))
 
     def madd_multi(self, acc, q_affine, skip, neg=None):
         """S fused bucket-accumulation steps: acc (Jacobian (B,) batch)

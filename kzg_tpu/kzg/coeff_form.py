@@ -74,18 +74,73 @@ class KZGProver:
         device->host round-trip per call, a latency drag in pipelined
         production proving where y was just computed from the same poly
         (the quotient itself is correct either way; an off-polynomial y
-        simply yields a witness that will not verify)."""
+        simply yields a witness that will not verify).
+
+        North-star sizes STREAM: above 2^msm_chunk_log coefficients the
+        quotient is produced chunk-by-chunk (high-to-low Horner carry) and
+        each chunk is consumed immediately by its MSM partial, so the full
+        (L, n-1) quotient never co-resides with the SRS — the r3 2^24
+        RESOURCE_EXHAUSTED fix (VERDICT item 1; reference semantics
+        coeff_form.rs:66-81, which on a big-RAM CPU host has no analog of
+        this memory wall)."""
+        from ..config import get_config
+
         x, y = point
         if check and poly.eval(x) != y % R:
             raise PointNotOnPolynomial(f"({x}, {y}) not on polynomial")
+        if poly.degree == 0:
+            return G1.infinity(())
+        n = poly.num_coeffs()
+        if n > (1 << get_config().msm_chunk_log) and x % R != 0:
+            return self._witness_streamed(poly, x % R)
         fm = poly.trimmed()
-        ymont = jnp.asarray(FR.encode([y % R]))
-        f_minus_y = fm.at[:, 0].set(FR.sub(fm[:, 0:1], ymont)[:, 0])
-        shifted = Polynomial(f_minus_y, poly.degree)
-        q, _ = shifted.div_by_linear(x, want_rem=False)
-        if q.num_coeffs() == 0 or poly.degree == 0:
+        # the quotient of (f - y)/(X - x) is independent of the constant
+        # coefficient (f_0 only enters the remainder), so f - y is never
+        # materialised — psi = quotient(f / (X - x))
+        q, _ = Polynomial(fm, poly.degree).div_by_linear(x, want_rem=False)
+        if q.num_coeffs() == 0:
             return G1.infinity(())
         return msm_g1(_slice_srs(self.params.gs, q.num_coeffs()), q.trimmed())
+
+    def _witness_streamed(self, poly: Polynomial, x: int):
+        """Chunk-streamed single-point witness: for each 2^div_chunk_log-
+        coefficient chunk (high to low), one division-recurrence step
+        produces the quotient chunk and one MSM over the matching SRS slice
+        consumes it; Jacobian partials accumulate. Peak live memory is
+        O(SRS + f + chunk), independent of n."""
+        from ..config import get_config
+        from ..msm.pippenger import _add_jitted
+        from ..poly.polynomial import (
+            _div_stream_consts,
+            _div_stream_chunk,
+            _pad_to,
+        )
+
+        cfg = get_config()
+        chunk_log = min(cfg.div_chunk_log, cfg.msm_chunk_log)
+        m = 1 << chunk_log
+        f = poly.trimmed()
+        n = f.shape[-1]
+        pt = jnp.asarray(FR.encode([x]))
+        consts = _div_stream_consts(pt, chunk_log)
+        carry = FR.zeros(())
+        acc = None
+        add = _add_jitted(G1)
+        nch = -(-n // m)
+        for ci in range(nch - 1, -1, -1):
+            off = ci * m
+            fc = _pad_to(f[..., off : off + m], m)
+            qc, carry = _div_stream_chunk(fc, carry, *consts)
+            # quotient positions >= n-1 are structurally zero (suffix sums
+            # of padded zeros with zero initial carry), so the top chunk's
+            # tail rides along harmlessly; clip the SRS slice to n
+            use = min(m, n - off)
+            part = msm_g1(
+                tuple(t[..., off : off + use] for t in self.params.gs),
+                qc[..., :use],
+            )
+            acc = part if acc is None else add(acc, part)
+        return acc
 
     def create_witness_batched(self, poly: Polynomial, xs, ys,
                                check: bool = True) -> KZGBatchWitness:

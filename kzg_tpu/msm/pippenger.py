@@ -326,13 +326,7 @@ def _msm_impl(curve, xa, ya, inf, scalars_std, c: int):
     _, acc_all = jax.lax.scan(window, None, digits)  # leaves: (W, *elem, B)
     acc_b = tuple(jnp.moveaxis(t, 0, -2) for t in acc_all)  # (*elem, W, B)
     s_all = weighted_bucket_sum(curve, acc_b)  # (*elem, W) points
-
-    def join(i, acc):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
-        s_w = tuple(t[..., w_count - 1 - i] for t in s_all)
-        return curve.add(acc, s_w)
-
-    return jax.lax.fori_loop(0, w_count, join, curve.infinity(()))
+    return curve.window_join(s_all, c)
 
 
 def _msm_impl_signed(curve, xa, ya, inf, scalars_std, c: int):
@@ -445,13 +439,101 @@ def _msm_impl_signed(curve, xa, ya, inf, scalars_std, c: int):
     s_w = weighted_bucket_sum(curve, acc_b)  # (*elem, W+1)
     s_p = point_sum(curve, acc_b)            # (*elem, W+1)... reduces last
     s_all = curve.add(s_w, s_p)
+    return curve.window_join(s_all, c)
 
-    def join(i, acc):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
-        s_w = tuple(t[..., w_count - 1 - i] for t in s_all)
-        return curve.add(acc, s_w)
 
-    return jax.lax.fori_loop(0, w_count, join, curve.infinity(()))
+def _msm_impl_runs(curve, xa, ya, inf, scalars_std, c: int):
+    """v1 structure with the bucket accumulation done by the contiguous-run
+    DMA kernel (curve.bucket_accumulate): per window, one argsort + one XLA
+    row permute of the packed point rows, then ONE kernel launch that
+    DMA-fetches each bucket's sorted run in 16-point aligned chunks
+    (double-buffered against the madds, bucket state resident in VMEM).
+
+    Kills the r4-trace dominators: the per-step XLA chunk gathers (1.87s
+    of the 4.4s 2^20 MSM — random 132B rows at ~70ns each) and the
+    per-step launch round trips. The row permute (one sorted-row gather
+    per window) remains the cost floor. Worst-case digit skew falls back
+    to the segmented scan per window, exactly like v1."""
+    from ..config import get_config
+
+    n0 = xa.shape[-1]
+    if n0 < get_config().small_msm_threshold:
+        return _msm_small(curve, xa, ya, inf, scalars_std)
+    # the kernel wants at least one whole 1024-lane bucket block; smaller
+    # windows (or no TPU kernels) use the XLA bucket loop
+    if not _kernels_available(curve) or (1 << c) < 1024:
+        return _msm_impl(curve, xa, ya, inf, scalars_std, c)
+    elem_shape = xa.shape[:-1]
+    K = int(np.prod(elem_shape))  # u32 words per coordinate (G1: 24, G2: 48)
+    W_pad = 64 * (K // 24)  # padded row width: 64 (G1) / 128 (G2)
+    ppm = 128 // W_pad  # points per 128-word memref row: 2 (G1) / 1 (G2)
+    # pad the batch to a whole number of 128-word memref rows; padded
+    # points get digit 0 (bucket 0 is skipped)
+    n = -(-n0 // ppm) * ppm
+    if n != n0:
+        padw = ((0, 0),) * (xa.ndim - 1) + ((0, n - n0),)
+        xa = jnp.pad(xa, padw)
+        ya = jnp.pad(ya, padw)
+        inf = jnp.pad(inf, (0, n - n0), constant_values=True)
+        scalars_std = jnp.pad(scalars_std, ((0, 0), (0, n - n0)))
+    digits = _digits(scalars_std, c)  # (W, N)
+    digits = jnp.where(inf[None], 0, digits)
+    w_count = digits.shape[0]
+    buckets = 1 << c
+    bucket_ids = jnp.arange(buckets, dtype=jnp.int32)
+    # packed rows: (N, 2K) u32, limb-major per coordinate (matches the
+    # kernel's q[:K]/q[K:] planar reshape), zero-padded to W_pad words and
+    # viewed as (N//ppm, 128) inside the window fn
+    rows = jnp.concatenate([xa.reshape(K, n), ya.reshape(K, n)], axis=0).T
+    rows = jnp.pad(rows, ((0, 0), (0, W_pad - 2 * K)))
+    cap = 4 * (n // buckets + 1) + 64
+    idx_n = jnp.arange(n)
+
+    def window(carry, dw):
+        order = jnp.argsort(dw)
+        ds = jnp.take(dw, order)
+        sp = jnp.take(rows, order, axis=0)  # (N, W_pad) sorted rows
+        spm = sp.reshape(n * W_pad // 128, 128)
+        start = jnp.searchsorted(ds, bucket_ids, side="left").astype(jnp.int32)
+        end = jnp.searchsorted(ds, bucket_ids, side="right").astype(jnp.int32)
+        count = (end - start).at[0].set(0)  # bucket 0 contributes nothing
+        maxc = jnp.max(count)
+        acc0 = curve.infinity((buckets,))
+
+        def run_kernel(_):
+            return curve.bucket_accumulate(acc0, spm, start, count, cap)
+
+        def segscan(_):
+            spc = sp.T  # (W_pad, N); rows beyond 2K are padding
+            px = spc[:K].reshape(elem_shape + (n,))
+            py = spc[K : 2 * K].reshape(elem_shape + (n,))
+            live = ds > 0
+            z = jnp.where(
+                curve.fa.expand(live), curve.fa.one((n,)), curve.fa.zeros((n,))
+            )
+            p = (px, py, z)
+            rounds = max(1, (n - 1).bit_length())
+
+            def rbody(r, p):
+                s = jnp.left_shift(1, r)
+                shifted = tuple(jnp.roll(t, -s, axis=-1) for t in p)
+                same = jnp.logical_and(ds == jnp.roll(ds, -s), idx_n < n - s)
+                return curve.select(same, curve.add(p, shifted), p)
+
+            p = jax.lax.fori_loop(0, rounds, rbody, p)
+            safe_start = jnp.clip(start, 0, n - 1)
+            out = tuple(jnp.take(t, safe_start, axis=-1) for t in p)
+            zfix = jnp.where(
+                curve.fa.expand(count == 0), curve.fa.zeros((buckets,)), out[2]
+            )
+            return (out[0], out[1], zfix)
+
+        return carry, jax.lax.cond(maxc <= cap, run_kernel, segscan, None)
+
+    _, acc_all = jax.lax.scan(window, None, digits)  # leaves: (W, *elem, B)
+    acc_b = tuple(jnp.moveaxis(t, 0, -2) for t in acc_all)  # (*elem, W, B)
+    s_all = weighted_bucket_sum(curve, acc_b)
+    return curve.window_join(s_all, c)
 
 
 # ---------------------------------------------------------------------------
@@ -668,13 +750,7 @@ def _msm_impl_v2(curve, xa, ya, inf, scalars_std, c: int,
     acc_jac = jax.lax.cond(maxc <= cap, bucket_path, segscan_path, None)
     # acc_jac: (*elem, W, B) Jacobian buckets
     s_all = weighted_bucket_sum(curve, acc_jac)  # (*elem, W) points
-
-    def join(i, acc):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
-        s_w = tuple(t[..., w_count - 1 - i] for t in s_all)
-        return curve.add(acc, s_w)
-
-    return jax.lax.fori_loop(0, w_count, join, curve.infinity(()))
+    return curve.window_join(s_all, c)
 
 
 _jitted = {}
@@ -719,6 +795,8 @@ def msm(curve, points, scalars_mont, c: int | None = None):
         impl = _msm_impl
     elif cfg.msm_impl == "v1s":
         impl = _msm_impl_signed
+    elif cfg.msm_impl == "runs":
+        impl = _msm_impl_runs
     elif cfg.msm_impl == "affine":
         impl = partial(_msm_impl_v2, affine=True)
     else:

@@ -95,6 +95,30 @@ def test_g1_scalar_mul(g1pts):
     assert got == [ec_mul(g, k)]
 
 
+def test_g1_scalar_mul_digits(g1pts):
+    """The windowed digit ladder (scalar_mul_digits — the Lagrange-SRS
+    group-iNTT twiddle path) against the oracle, including a lane at
+    infinity and a digit-0-heavy scalar."""
+    ks, _ = g1pts
+    g = g1_generator()
+    c = 4
+    scalars = [ks[0] % R, 0x1003000500070000, 0]
+    gd = g1_generator_device(len(scalars))
+    # lane at infinity
+    z = np.asarray(gd[2]).copy()
+    z[..., 2] = 0
+    gd = (gd[0], gd[1], jnp.asarray(z))
+    nbits = max(s.bit_length() for s in scalars)
+    w_count = -(-nbits // c)
+    digits = np.zeros((w_count, len(scalars)), dtype=np.int32)
+    for j, s in enumerate(scalars):
+        for w in range(w_count):
+            digits[w, j] = (s >> (c * (w_count - 1 - w))) & ((1 << c) - 1)
+    got = g1_from_device(G1.scalar_mul_digits(gd, jnp.asarray(digits), c))
+    want = [ec_mul(g, scalars[0]), ec_mul(g, scalars[1]), None]
+    assert got == want
+
+
 def test_g1_on_curve_and_eq(g1pts):
     _, pts = g1pts
     d = g1_to_device(pts)

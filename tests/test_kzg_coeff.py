@@ -116,6 +116,32 @@ def test_degree_one_edge(params, rngmod):
     assert verifier.verify_eval((x, py_eval(cs, x)), c, w)
 
 
+def test_streamed_witness_matches_direct(rngmod):
+    """The chunk-streamed witness path (KZGProver._witness_streamed — the
+    2^24 production path, normally active above 2^msm_chunk_log) produces
+    the identical witness point to the one-shot division+MSM path, and the
+    opening verifies. Forced on at tiny size via msm_chunk_log=4."""
+    from kzg_tpu.config import configure, get_config
+
+    n = 48  # deliberately NOT a multiple of the 2^4 chunk
+    params48 = setup(SECRET, 64)
+    prover, verifier = KZGProver(params48), KZGVerifier(params48)
+    cs = [rngmod.randrange(R) for _ in range(n)]
+    p = Polynomial.from_ints(cs)
+    x = rngmod.randrange(R)
+    y = py_eval(cs, x)
+    w_direct = prover.create_witness(p, (x, y))
+    old = get_config().msm_chunk_log
+    try:
+        configure(msm_chunk_log=4)
+        w_stream = prover.create_witness(p, (x, y))
+    finally:
+        configure(msm_chunk_log=old)
+    assert bool(np.asarray(G1.eq(w_stream, w_direct)))
+    c = prover.commit(p)
+    assert verifier.verify_eval((x, y), c, w_stream)
+
+
 def test_batched_open_verify(params, rngmod):
     prover, verifier = KZGProver(params), KZGVerifier(params)
     cs = [rngmod.randrange(R) for _ in range(N)]
