@@ -29,20 +29,22 @@ class KZGConfig:
     msm_window: int | None = None
     # below this point count a batched double-and-add ladder beats bucketing
     small_msm_threshold: int = 512
-    # bucket-accumulation implementation. "v1" = window-sequential Jacobian
-    # scan — MEASURED FASTEST on the bench chip (0.35s vs 1.07s at 2^16 for
-    # the alternatives, BENCH_r02): the per-window maxc trip count does
-    # ~16% less madd work than the all-windows maximum and its smaller
-    # per-step gathers lower better. "v2" = windows-in-lanes variant with a
-    # capped worst case + segmented-scan fallback; "affine" = v2 with
-    # batched-affine adds + per-step tree inversion (fewest field muls,
-    # most dependent launches); "v1s" = v1 with SIGNED digit windows
-    # (half the buckets per window + one borrow window); "runs" = v1 with
-    # the bucket accumulation done by the contiguous-run DMA kernel
-    # (curve.bucket_accumulate — one launch per window, point runs
-    # DMA-fetched in 16-point chunks overlapping the madds; falls back to
-    # v1 off-TPU). All variants are differentially tested.
-    msm_impl: str = "v1"
+    # bucket-accumulation implementation. "runs" (DEFAULT) = v1's window
+    # structure with the bucket accumulation done by the contiguous-run
+    # DMA kernel (curve.bucket_accumulate — one launch per window, each
+    # bucket's sorted point run DMA-fetched in 16-point chunks double-
+    # buffered against the madds, bucket state resident in VMEM; falls
+    # back to v1 off-TPU or below 1024 buckets). MEASURED on the bench
+    # chip round 4: 648k pts/s at 2^20/c=15 vs v1's 234k (2.8x — the
+    # per-step XLA chunk gathers were 1.87s of v1's 4.4s) and 161k vs
+    # 142k pts/s on G2 at 2^16. "v1" = window-sequential Jacobian scan
+    # with XLA chunk gathers (fastest pre-r4 variant, BENCH_r02); "v2" =
+    # windows-in-lanes variant with a capped worst case + segmented-scan
+    # fallback; "affine" = v2 with batched-affine adds + per-step tree
+    # inversion (fewest field muls, most dependent launches); "v1s" = v1
+    # with SIGNED digit windows (half the buckets per window + one borrow
+    # window). All variants are differentially tested.
+    msm_impl: str = "runs"
     # bucket-accumulation steps fused into ONE Pallas launch (the gathered
     # point chunk for S steps is staged in HBM, the bucket state stays in
     # VMEM across the in-kernel step axis). 1 disables fusion (one launch +

@@ -431,31 +431,48 @@ class _PointKernels:
                     (L, 2, 1, 8, 128), lambda i: (0, 0, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
+            # start/count for the vector masks ride VMEM as (8, 128) tiles;
+            # the DMA descriptors (base memref row per bucket) ride SMEM —
+            # dynamic scalar indexing must come from SMEM, and every block
+            # spec (SMEM included) obeys the (8k, 128) tiling rule, so the
+            # SMEM copy is shaped (1, 8, 128) and indexed (b >> 7, b & 127)
             iv_spec = pl.BlockSpec(
-                (1, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+            base_spec = pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             )
             rows_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-            trips = -(-(cap + pc - 1) // pc)  # bound incl. alignment slop
 
-            def kernel(start_ref, cnt_ref, rows_ref,
+            def kernel(start_ref, cnt_ref, base_ref, rows_ref,
                        ax, ay, az, ox, oy, oz, buf, sems):
                 ox[...] = ax[...]
                 oy[...] = ay[...]
                 oz[...] = az[...]
-                startv = start_ref[0, :]  # (1024,) point units
-                cntv = cnt_ref[0, :]
-                base_mrow = jnp.right_shift(startv, _log2(ppm))
-                slop = startv - base_mrow * ppm
-                # per-block trip count: ceil((count + slop) / pc)
-                tmax = jnp.max(
-                    jnp.right_shift(cntv + slop + (pc - 1), _log2(pc))
+                startm = start_ref[0]  # (8, 128) point units
+                cntm = cnt_ref[0]
+                basem = (
+                    jnp.right_shift(startm, _log2(ppm)) * ppm
+                    if ppm > 1 else startm
                 )
+                # per-block trip bound: max over buckets of
+                # ceil((count + slop) / pc), empty buckets taking none
+                tripm = jnp.where(
+                    cntm > 0,
+                    jnp.right_shift(
+                        cntm + (startm - basem) + (pc - 1), _log2(pc)
+                    ),
+                    0,
+                )
+                tmax = jnp.max(tripm)
                 max_mrow = n_rows - 4
 
                 def issue(j, slot):
                     def ibody(b, _):
                         g0 = jnp.minimum(
-                            start_ref[0, b] // ppm + 4 * j, max_mrow
+                            base_ref[0, jax.lax.shift_right_logical(b, 7),
+                                     jax.lax.bitwise_and(b, 127)] + 4 * j,
+                            max_mrow,
                         )
                         pltpu.make_async_copy(
                             rows_ref.at[pl.ds(g0, 4), :],
@@ -483,10 +500,6 @@ class _PointKernels:
                 @pl.when(tmax > 0)
                 def _():
                     issue(0, 0)
-
-                startm = startv.reshape(8, 128)
-                cntm = cntv.reshape(8, 128)
-                basem = base_mrow.reshape(8, 128) * ppm
 
                 def body(j, _):
                     slot = jax.lax.rem(j, 2)
@@ -534,7 +547,8 @@ class _PointKernels:
             self._calls[key] = pl.pallas_call(
                 kernel,
                 grid=(nblk,),
-                in_specs=[iv_spec, iv_spec, rows_spec] + [acc_spec] * 3,
+                in_specs=[iv_spec, iv_spec, base_spec, rows_spec]
+                + [acc_spec] * 3,
                 out_specs=[acc_spec] * 3,
                 out_shape=[
                     jax.ShapeDtypeStruct(
@@ -552,8 +566,9 @@ class _PointKernels:
             )
         accb = [self._to_blocks(t) for t in acc]
         outs = self._calls[key](
-            start.reshape(nblk, LANES),
-            count.reshape(nblk, LANES),
+            start.reshape(nblk, 8, 128),
+            count.reshape(nblk, 8, 128),
+            (start // ppm).reshape(nblk, 8, 128),
             sp_rows,
             *accb,
         )

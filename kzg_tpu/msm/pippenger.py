@@ -493,7 +493,13 @@ def _msm_impl_runs(curve, xa, ya, inf, scalars_std, c: int):
         order = jnp.argsort(dw)
         ds = jnp.take(dw, order)
         sp = jnp.take(rows, order, axis=0)  # (N, W_pad) sorted rows
-        spm = sp.reshape(n * W_pad // 128, 128)
+        # +4 zero memref rows so a run's last (4, 128) DMA chunk never
+        # needs the end-of-array clip (a clipped chunk would read rows
+        # SHIFTED from the lane's absolute point index r while the
+        # [start, start+count) mask still reads valid — wrong points)
+        spm = jnp.pad(
+            sp.reshape(n * W_pad // 128, 128), ((0, 4), (0, 0))
+        )
         start = jnp.searchsorted(ds, bucket_ids, side="left").astype(jnp.int32)
         end = jnp.searchsorted(ds, bucket_ids, side="right").astype(jnp.int32)
         count = (end - start).at[0].set(0)  # bucket 0 contributes nothing
@@ -791,6 +797,13 @@ def msm(curve, points, scalars_mont, c: int | None = None):
         return acc
     if c is None:
         c = cfg.msm_window or pick_window(n)
+        if cfg.msm_impl == "runs":
+            # the run-DMA kernel amortises bucket-count costs better than
+            # the XLA bucket loop (bucket state stays in VMEM; the sorted
+            # permute is per-window), so one window fewer wins: swept on
+            # the bench chip at 2^20 — 648k pts/s at c=15 vs 531k at the
+            # v1 heuristic's c=14 and 564k at c=16 (round 4).
+            c = min(16, c + 1)
     if cfg.msm_impl == "v1":
         impl = _msm_impl
     elif cfg.msm_impl == "v1s":

@@ -9,6 +9,8 @@ Interpret mode is slow, so the module is marked `slow`; the TPU-side parity
 of the same kernels is exercised by every on-device benchmark run.
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -141,6 +143,14 @@ def test_g2_point_kernels_match_xla(rng):
                               np.asarray(e_).reshape(-1))
 
 
+@pytest.mark.skipif(
+    not os.environ.get("KZG_INTERPRET_KERNELS"),
+    reason="interpret-mode compile of the DMA/grid-carried kernels takes "
+    ">30 min on a 1-core host (structural — the unrolled madd body, not the "
+    "test size); the authoritative differential runs on real hardware in "
+    "tpu_selftest.py (msm_runs_vs_v1_32768). Set KZG_INTERPRET_KERNELS=1 "
+    "to run here anyway.",
+)
 def test_horner_join_kernel_matches_xla(rng):
     """The fused window-join kernel (one launch, c doublings + Jacobian add
     per grid step) against the XLA fori-loop join, including empty
@@ -171,6 +181,11 @@ def test_horner_join_kernel_matches_xla(rng):
         assert bool(np.asarray(ref.eq(got, want)))
 
 
+@pytest.mark.skipif(
+    not os.environ.get("KZG_INTERPRET_KERNELS"),
+    reason="see test_horner_join_kernel_matches_xla — TPU selftest is the "
+    "authoritative differential for the bucket kernel",
+)
 def test_bucket_accumulate_kernel_matches_xla(rng):
     """The contiguous-run DMA bucket-accumulation kernel (one launch per
     MSM window) against the XLA capped bucket loop: random digits plus
