@@ -93,14 +93,14 @@ def main():
 
     from kzg_tpu.fields import FR, FP
     from kzg_tpu.curve import G1, g1_generator_device
-    from kzg_tpu.msm.pippenger import pick_window
+    from kzg_tpu.msm.pippenger import effective_window
     from kzg_tpu.ntt import Domain
     from kzg_tpu.config import get_config, configure
 
     if MSM_IMPL:
         configure(msm_impl=MSM_IMPL)
     n = 1 << LOG_N
-    c = int(WINDOW) if WINDOW else (get_config().msm_window or pick_window(n))
+    c = int(WINDOW) if WINDOW else effective_window(n)
     extras = {"log_n": LOG_N, "window": c, "msm_impl": get_config().msm_impl,
               "iters": ITERS}
 
@@ -279,7 +279,7 @@ def main():
     eval_log = int(os.environ.get("KZG_BENCH_EVAL_LOGN", "16"))
     if eval_log:
         try:
-            from kzg_tpu.kzg.setup import setup_device
+            from kzg_tpu.kzg.srs import setup_device
             from kzg_tpu.kzg.eval_form import (
                 KZGProverEvalForm,
                 compute_lagrange_basis,
@@ -328,7 +328,7 @@ def main():
         # scan ~3G live + these leftovers > 15.75G HBM)
         del pts, scalars, svars
         try:
-            from kzg_tpu.kzg.setup import setup_device
+            from kzg_tpu.kzg.srs import setup_device
             from kzg_tpu.kzg.coeff_form import KZGProver
             from kzg_tpu.poly import Polynomial
 

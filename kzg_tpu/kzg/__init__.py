@@ -14,9 +14,9 @@ _EXPORTS = {
     "BatchedPointsNotOnPolynomial": "errors",
     "NoPolynomial": "errors",
     "BatchOpeningZeroRemainder": "errors",
-    "KZGParams": "setup",
-    "setup": "setup",
-    "csprng_setup": "setup",
+    "KZGParams": "srs",
+    "setup": "srs",
+    "csprng_setup": "srs",
     "KZGProver": "coeff_form",
     "KZGVerifier": "coeff_form",
     "KZGBatchWitness": "coeff_form",

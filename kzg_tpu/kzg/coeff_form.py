@@ -38,7 +38,7 @@ from .errors import (
     BatchedPointsNotOnPolynomial,
     PolynomialDegreeTooLarge,
 )
-from .setup import KZGParams
+from .srs import KZGParams
 
 
 @dataclass

@@ -33,7 +33,7 @@ from ..poly import Polynomial
 from ..oracle import ec_neg, ec_add, ec_mul
 from ..hostcrypto import multi_pairing_check
 from .errors import PolynomialDegreeTooLarge, PointNotOnPolynomial
-from .setup import KZGParams, _ladders_jit, _fb_window
+from .srs import KZGParams, _ladders_jit, _fb_window
 
 
 @dataclass
@@ -216,7 +216,7 @@ def compute_lagrange_basis_from_secret(s: int, exp: int) -> LagrangeSRS:
     the L_i(s) scalars directly and run two fixed-base ladders. On CPU
     backends the native host engine computes the points instead (the same
     engine-selection rule as setup(), see setup._host_engine_preferred)."""
-    from .setup import _host_engine_preferred
+    from .srs import _host_engine_preferred
 
     if _host_engine_preferred():
         return _lagrange_basis_host(s, exp)

@@ -45,6 +45,22 @@ def pick_window(n: int) -> int:
     return max(2, min(16, int(math.log2(n)) - 6))
 
 
+def effective_window(n: int) -> int:
+    """The window msm() uses when the caller passes c=None: the configured
+    override, else pick_window — bumped one up for the run-DMA impl, which
+    amortises bucket-count costs better than the XLA bucket loop (bucket
+    state stays in VMEM; the sorted permute is per-window). Swept on the
+    bench chip at 2^20, round 4: 648k pts/s at c=15 vs 531k at v1's
+    heuristic c=14 and 564k at c=16."""
+    from ..config import get_config
+
+    cfg = get_config()
+    c = cfg.msm_window or pick_window(n)
+    if cfg.msm_impl == "runs" and cfg.msm_window is None:
+        c = min(16, c + 1)
+    return c
+
+
 # Below this size the bucket method's fixed costs (per-window sort + digit
 # bookkeeping, ~ceil(255/c) windows) dominate: a batched double-and-add over
 # the scalar bits plus one tree sum is both less work and a single compiled
@@ -796,14 +812,7 @@ def msm(curve, points, scalars_mont, c: int | None = None):
             acc = part if acc is None else _add_jitted(curve)(acc, part)
         return acc
     if c is None:
-        c = cfg.msm_window or pick_window(n)
-        if cfg.msm_impl == "runs":
-            # the run-DMA kernel amortises bucket-count costs better than
-            # the XLA bucket loop (bucket state stays in VMEM; the sorted
-            # permute is per-window), so one window fewer wins: swept on
-            # the bench chip at 2^20 — 648k pts/s at c=15 vs 531k at the
-            # v1 heuristic's c=14 and 564k at c=16 (round 4).
-            c = min(16, c + 1)
+        c = effective_window(n)
     if cfg.msm_impl == "v1":
         impl = _msm_impl
     elif cfg.msm_impl == "v1s":

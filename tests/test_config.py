@@ -31,7 +31,7 @@ def test_setup_engine_switches_path(restore_config, monkeypatch):
 
     # kzg_tpu.kzg re-exports the setup() FUNCTION under the same name as
     # the module; fetch the module itself
-    setup_mod = importlib.import_module("kzg_tpu.kzg.setup")
+    setup_mod = importlib.import_module("kzg_tpu.kzg.srs")
 
     monkeypatch.delenv("KZG_TPU_DEVICE_SETUP", raising=False)
 
