@@ -523,7 +523,22 @@ def _msm_impl_runs(curve, xa, ya, inf, scalars_std, c: int):
         acc0 = curve.infinity((buckets,))
 
         def run_kernel(_):
-            return curve.bucket_accumulate(acc0, spm, start, count, cap)
+            # rank buckets by occupancy before the kernel: each grid block
+            # runs to the MAX trip count of its 1024 buckets, and with
+            # random digits (Poisson counts) that max is ~1.6x the mean —
+            # grouping like-sized buckets makes every block's max ~ its
+            # mean, cutting the skew waste to ~1.1x. Kernel unchanged; the
+            # bucket axis is unpermuted afterwards.
+            rank = jnp.argsort(count).astype(jnp.int32)
+            acc_p = curve.bucket_accumulate(
+                acc0,
+                spm,
+                jnp.take(start, rank),
+                jnp.take(count, rank),
+                cap,
+            )
+            inv = jnp.argsort(rank).astype(jnp.int32)
+            return tuple(jnp.take(t, inv, axis=-1) for t in acc_p)
 
         def segscan(_):
             spc = sp.T  # (W_pad, N); rows beyond 2K are padding
