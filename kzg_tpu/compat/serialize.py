@@ -269,10 +269,16 @@ def params_to_bytes(gs_points, hs_points) -> bytes:
 
 
 def batch_witness_to_bytes(r_coeff_ints, w_point) -> bytes:
-    """KZGBatchWitness { r: Polynomial, w: G1Affine } codec (reference
-    coeff_form.rs:12-13 derives serde; bincode round-trip pattern
-    polynomial.rs:692-710): length-prefixed Fr coefficients of r followed by
-    the 48-byte compressed w."""
+    """KZGBatchWitness { r: Polynomial, w: G1Affine } container codec:
+    length-prefixed Fr coefficients of r followed by the 48-byte compressed w.
+
+    This is a PROJECT-CANONICAL format, the functional analog of the
+    reference's serde_support (coeff_form.rs:12-13, bincode round-trip
+    pattern polynomial.rs:692-710) — it is NOT wire-compatible with the
+    Rust bincode output (which carries a leading u64 `degree` field inside
+    Polynomial and, for the eval form, a full EvaluationDomain with six
+    extra cached fields). The point encodings themselves (48B G1 / 96B G2)
+    ARE the standard ZCash format and interoperate."""
     return polynomial_to_bytes(r_coeff_ints) + g1_compress(w_point)
 
 
