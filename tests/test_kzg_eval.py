@@ -78,6 +78,24 @@ def test_lagrange_basis_trusted_vs_secret(params):
         assert got1[i] == ec_mul(g, li)
 
 
+def test_group_intt_split_tables_match_dense(params):
+    """The big-domain split-twiddle branch of _group_intt (omega^{-t} from
+    two O(sqrt n) tables + on-device digit extraction; used for exp >=
+    _BIG_TABLE_EXP where no dense table may be baked into the graph) ==
+    the dense digit-table branch, forced on a small domain."""
+    import jax
+
+    from kzg_tpu.kzg.eval_form import _group_intt
+    from kzg_tpu.ntt import Domain
+
+    dom = Domain(EXP)
+    gsl = tuple(t[..., :D] for t in params.gs)
+    g_intt = jax.jit(_group_intt, static_argnums=(0, 2, 3))
+    dense = G1.to_affine(g_intt(G1, gsl, dom, False))
+    split = G1.to_affine(g_intt(G1, gsl, dom, True))
+    assert g1_from_device(dense) == g1_from_device(split)
+
+
 def test_div_by_omega_i_matches_monomial_division(rngmod):
     dom = Domain(EXP)
     evals = rand_evals(rngmod)
