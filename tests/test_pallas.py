@@ -211,12 +211,15 @@ def test_bucket_accumulate_kernel_matches_xla(rng):
     count = (end - start).astype(np.int32)
     count[0] = 0
     cap = int(count.max()) + 3
-    # packed sorted rows: (n, 48) padded to (n, 64) -> (n//2, 128)
-    rows = np.concatenate(
-        [np.asarray(px), np.asarray(py)], axis=0
-    ).T[order]
-    rows = np.pad(rows, ((0, 0), (0, 64 - rows.shape[1])))
-    spm = jnp.asarray(rows.reshape(n * 64 // 128, 128))
+    # u16-packed sorted rows: (n, 24) padded to (n, 32) -> (n//4, 128)
+    allw = np.concatenate([np.asarray(px), np.asarray(py)], axis=0)  # (48,n)
+    rows = (allw[0::2] | (allw[1::2] << 16)).T[order]  # (n, 24)
+    rows = np.pad(rows, ((0, 0), (0, 32 - rows.shape[1])))
+    # + zero memref rows: end-of-array DMA chunks must never clip (the
+    # production caller pads the same way, pippenger._msm_impl_runs)
+    spm = jnp.asarray(
+        np.pad(rows.reshape(n * 32 // 128, 128), ((0, 4), (0, 0)))
+    )
 
     kern = _PointKernels(FP, ncomp=1, interpret=True)
     acc0 = ref.infinity((B,))
@@ -224,9 +227,10 @@ def test_bucket_accumulate_kernel_matches_xla(rng):
         acc0, spm, jnp.asarray(start), jnp.asarray(count), cap
     )
 
-    # XLA oracle: the v1 capped bucket loop over the same sorted rows
-    spx = jnp.asarray(rows[:, :24].T)
-    spy = jnp.asarray(rows[:, 24:48].T)
+    # XLA oracle: the v1 capped bucket loop over the same sorted points
+    sorted_all = allw[:, order]
+    spx = jnp.asarray(sorted_all[:24])
+    spy = jnp.asarray(sorted_all[24:48])
     acc = acc0
     startj = jnp.asarray(start)
     countj = jnp.asarray(count)
