@@ -201,6 +201,8 @@ def main():
         from kzg_tpu.curve import G1, g1_generator_device
         from kzg_tpu.msm.pippenger import msm as msm_public
 
+        from kzg_tpu.config import get_config
+
         n = 1 << 15
         ks = np.array([rng.randrange(1, 1 << 30) for _ in range(n)])
         bits = ((ks[None, :] >> np.arange(30)[:, None]) & 1).astype(np.uint32)
@@ -208,15 +210,50 @@ def main():
             G1.scalar_mul_bits(g1_generator_device(n), jnp.asarray(bits))
         )
         s = jnp.asarray(FR.encode([rng.randrange(R) for _ in range(n)]))
+        old = get_config().msm_impl
         try:
             configure(msm_impl="v1")
             want = msm_public(G1, pts, s, 10)
             configure(msm_impl="runs")
             got = msm_public(G1, pts, s, 10)
         finally:
-            configure(msm_impl="v1")
+            # restore the SESSION default so the later checks
+            # (msm_vs_native_2048, protocol_golden_2e10) certify the
+            # shipped MSM path, not whatever this A/B left configured
+            configure(msm_impl=old)
         assert bool(np.asarray(G1.eq(got, want))), "runs MSM != v1 MSM"
         return "2^15-pt G1 MSM: run-DMA kernel == v1 bucket loop"
+
+    @check("msm_g2_runs_vs_ladder_4096")
+    def _msm_runs_g2():
+        """The run-DMA bucket kernel's G2 layout (ncomp=2, distinct u16
+        packing/reshape) == the batched-ladder small-MSM oracle — the G2
+        kernel path has no default-on differential anywhere else (ADVICE
+        r4). The ladder oracle (not v1) keeps this check's compile cost in
+        seconds: the G2 v1 XLA bucket-loop graph is a multi-minute compile
+        (the r4 G2 pathology) and is not the shipped path anyway."""
+        from kzg_tpu.config import configure, get_config
+        from kzg_tpu.curve import G2, g2_generator_device
+        from kzg_tpu.msm.pippenger import msm as msm_public
+
+        n = 1 << 12
+        ks = np.array([rng.randrange(1, 1 << 30) for _ in range(n)])
+        bits = ((ks[None, :] >> np.arange(30)[:, None]) & 1).astype(np.uint32)
+        pts = G2.to_affine(
+            G2.scalar_mul_bits(g2_generator_device(n), jnp.asarray(bits))
+        )
+        s = jnp.asarray(FR.encode([rng.randrange(R) for _ in range(n)]))
+        cfg = get_config()
+        old_thr, old_impl = cfg.small_msm_threshold, cfg.msm_impl
+        try:
+            configure(small_msm_threshold=n + 1)  # force the ladder oracle
+            want = msm_public(G2, pts, s, 10)
+            configure(small_msm_threshold=old_thr, msm_impl="runs")
+            got = msm_public(G2, pts, s, 10)
+        finally:
+            configure(small_msm_threshold=old_thr, msm_impl=old_impl)
+        assert bool(np.asarray(G2.eq(got, want))), "G2 runs MSM != ladder"
+        return "2^12-pt G2 MSM: run-DMA kernel == batched-ladder oracle"
 
     @check("msm_vs_native_2048")
     def _msm():
@@ -281,6 +318,63 @@ def main():
             "device verify accepted tampered y"
         )
         return "2^10 commit+witness bytes == golden; device+host verify ok"
+
+    @check("eval_form_golden_2e7")
+    def _protocol_eval():
+        """Eval-form pipeline on hardware (VERDICT r4 item 7): trusted
+        group-iNTT Lagrange SRS, commit, div_by_omega_i witness, device +
+        host verify, tamper reject — bytes pinned to the committed golden
+        vector (reference eval_form.rs:282-484 test surface)."""
+        import os
+
+        from kzg_tpu.compat import g1_compress
+        from kzg_tpu.curve import g1_from_device
+        from kzg_tpu.kzg import setup
+        from kzg_tpu.kzg.eval_form import (
+            KZGProverEvalForm,
+            KZGVerifierEvalForm,
+            compute_lagrange_basis,
+            compute_lagrange_basis_from_secret,
+        )
+
+        vec = json.load(
+            open(os.path.join(os.path.dirname(__file__), "tests/vectors.json"))
+        )
+        v = vec["configs"]["eval_2e7"]
+        c1, c3 = vec["configs"]["coeff_2e10"], vec["configs"]["batched_2e8_k16"]
+        secret = int(vec["secret"], 16)
+        vrng = random.Random(vec["seed"])
+        for _ in range(c1["n"] + 1 + c3["n"] + c3["k"]):  # seed-chain offset
+            vrng.randrange(R)
+        d = 1 << v["exp"]
+        evals_int = [vrng.randrange(R) for _ in range(d)]
+        params = setup(secret, d)
+        lag = compute_lagrange_basis(params, v["exp"])  # trusted group-iNTT
+        lag2 = compute_lagrange_basis_from_secret(secret, v["exp"])
+        import jax.numpy as jnp
+
+        assert all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(lag.lg, lag2.lg)
+        ), "trusted Lagrange SRS != secret fast path"
+        prover = KZGProverEvalForm(params, lag)
+        evals = jnp.asarray(FR.encode(evals_int))
+        cm = prover.commit(evals)
+        cm_host = g1_from_device(tuple(t[..., None] for t in cm))[0]
+        assert g1_compress(cm_host).hex() == v["commit"], "commit != golden"
+        m = v["index"]
+        assert hex(evals_int[m]) == v["y"]
+        w = prover.create_witness(evals, m)
+        w_host = g1_from_device(tuple(t[..., None] for t in w))[0]
+        assert g1_compress(w_host).hex() == v["witness"], "witness != golden"
+        vdev = KZGVerifierEvalForm(params, lag, engine="device")
+        vhost = KZGVerifierEvalForm(params, lag, engine="host")
+        assert vdev.verify_eval((m, evals_int[m]), cm, w), "device verify reject"
+        assert vhost.verify_eval((m, evals_int[m]), cm, w), "host verify reject"
+        assert not vdev.verify_eval(
+            (m, (evals_int[m] + 1) % R), cm, w
+        ), "device verify accepted tampered y"
+        return "2^7 eval-form commit+witness bytes == golden; verify ok"
 
     with open("TPU_SELFTEST.json", "w") as f:
         json.dump(RESULTS, f, indent=1)
